@@ -1,0 +1,33 @@
+"""matrixproductbp_tpu — TPU-native Matrix Product Belief Propagation.
+
+A from-scratch JAX/XLA re-design (not a port) of the capabilities of
+``stecrotti/MatrixProductBP.jl``: belief propagation for reweighted stochastic
+dynamics on graphs, with tensor-train ("matrix product edge message") messages
+over the time horizon and SVD bond truncation as the single approximation knob.
+
+Layer map (mirrors SURVEY.md §1):
+  L0  ops.tensortrain / ops.truncation / ops.mpem — padded batched TT engine
+  L1  factors — BP factors as dense tables (recursive fast path + adapters)
+  L2  bp — struct-of-arrays state, node-batched Jacobi sweeps, observables
+  L3  exact / sampling — enumeration oracle, soft-margin sampler
+  L4  models — Glauber/Ising, SIS, SIRS, heterogeneous SIS, metrics
+"""
+
+from .ops import (SVDTrunc, TruncThresh, TruncBond, TruncBondMax,
+                  TruncBondThresh, default_truncator, TensorTrain, flat_tt,
+                  rand_tt, evaluate, lognorm, normalization, normalize,
+                  normalize_eachmatrix, marginals, twovar_marginals,
+                  orthogonalize_left, orthogonalize_right, compress, tt_sum,
+                  tt_dot, bond_ranks, mpem3_to_mpem2, evaluate_mpem3)
+from .graph import (Graph, graph_from_edges, random_regular_graph,
+                    erdos_renyi_graph, random_tree, star_graph, path_graph)
+from .factors import (RecursiveFactorTables, FactorSpec, TraceFactorSpec,
+                      DampedFactorSpec, build_tables, transition_probs)
+from .bp import (MPBP, mpbp, bp_sweep, iterate, beliefs, beliefs_tu,
+                 pair_beliefs, bethe_free_energy, means, autocorrelations,
+                 autocovariances, pair_correlations, alternate_marginals,
+                 logprob, reset_messages, reset_beliefs, reset_observations)
+from . import exact
+from . import models
+
+__version__ = "0.1.0"

@@ -1,0 +1,543 @@
+"""MPBP state and the node-batched BP sweep — the TPU-native L2 scheduler.
+
+Redesign of the reference scheduler (``/root/reference/src/mpbp.jl``,
+``recursive_bp_factor.jl:104-179``) for XLA:
+
+* State is struct-of-arrays: all edge messages live in one padded tensor
+  ``msg_cores[E, T1, D, D, q*q]`` (plus ``msg_logz[E]``); beliefs likewise.
+  This replaces the spinlock ``AtomicVector`` store (``atomic_vector.jl``) —
+  under a bulk-synchronous jitted sweep there is nothing to lock.
+* One sweep updates *every* node simultaneously (Jacobi schedule) via ``vmap``
+  over nodes; the reference's racy asynchronous ``Threads.@threads`` sweep
+  (``mpbp.jl:190``) is replaced by the idiomatic-TPU synchronous schedule
+  (use ``damp`` on loopy graphs if oscillations appear).
+* The cavity all-but-one products (reference ``CavityTools.cavity`` at
+  ``recursive_bp_factor.jl:140``) become prefix/suffix folds of the
+  associative merge ``op`` (``recursive_bp_factor.jl:117-131``), with the
+  endpoint folds shortcut through cheap y-embeddings (no bond growth).
+
+Degree raggedness is handled by padding every node to ``dmax`` slots whose
+lifted message is the identity element of ``op`` (the ``prob_y0`` one-hot),
+which is exact.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Graph
+from .factors import RecursiveFactorTables
+from .ops.tensortrain import (
+    TensorTrain, compress, normalize, normalize_eachmatrix, marginals,
+    twovar_marginals, tt_sum, flat_tt, lognorm,
+)
+from .ops.mpem import mpem3_to_mpem2
+from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
+
+__all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
+           "pair_beliefs", "bethe_free_energy", "means", "autocorrelations",
+           "autocovariances", "pair_correlations", "alternate_marginals",
+           "logprob", "reset_messages", "reset_beliefs", "reset_observations"]
+
+
+class GraphArrays(NamedTuple):
+    """Device-side copies of the Graph index arrays."""
+    in_edges: jax.Array   # i[N, K]
+    out_edges: jax.Array  # i[N, K]
+    in_mask: jax.Array    # bool[N, K]
+    degree: jax.Array     # i[N]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MPBP:
+    """The full BP state (a pytree; ``graph`` rides along as static aux).
+
+    Mirrors the reference ``MPBP`` struct fields (``mpbp.jl:1-33``):
+    ``w -> tables``, ``phi``, ``psi``, ``mu -> msg_*``, ``b -> bel_*``, ``f``.
+    """
+
+    tables: RecursiveFactorTables
+    phi: jax.Array        # [N, T1, q]
+    psi: jax.Array        # [E, T1, q, q]  (leg order: x_src, x_dst)
+    msg_cores: jax.Array  # [E, T1, D, D, q*q]  phys flat (x_src, x_dst)
+    msg_logz: jax.Array   # [E]
+    bel_cores: jax.Array  # [N, T1, D, D, q]
+    bel_logz: jax.Array   # [N]
+    f: jax.Array          # [N]
+    garrays: GraphArrays
+    graph: Graph = dataclasses.field(metadata=dict(static=True))
+
+    def tree_flatten(self):
+        return ((self.tables, self.phi, self.psi, self.msg_cores, self.msg_logz,
+                 self.bel_cores, self.bel_logz, self.f, self.garrays),
+                self.graph)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+    # reference getT / getN / nstates (mpbp.jl:35-37)
+    @property
+    def T(self) -> int:
+        return self.phi.shape[1] - 1
+
+    @property
+    def N(self) -> int:
+        return self.graph.N
+
+    @property
+    def q(self) -> int:
+        return self.tables.q
+
+    @property
+    def D(self) -> int:
+        return self.msg_cores.shape[2]
+
+
+def mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
+         phi=None, psi=None, dtype=jnp.float64) -> MPBP:
+    """Construct a flat-initialised state (reference ``mpbp`` at
+    ``mpbp.jl:60-70``: flat messages/beliefs, unit observations)."""
+    N, E, q = graph.N, graph.E, tables.q
+    T1 = T + 1
+    if phi is None:
+        phi = jnp.ones((N, T1, q), dtype)
+    else:
+        phi = jnp.asarray(phi, dtype)
+    if psi is None:
+        psi = jnp.ones((E, T1, q, q), dtype)
+    else:
+        psi = jnp.asarray(psi, dtype)
+        _check_psi_symmetry(graph, psi)
+    msg = flat_tt(T1, D, (q, q), dtype)
+    m, _ = normalize(msg)
+    bel = flat_tt(T1, D, (q,), dtype)
+    ga = GraphArrays(
+        jnp.asarray(graph.in_edges), jnp.asarray(graph.out_edges),
+        jnp.asarray(graph.in_mask), jnp.asarray(graph.degree),
+    )
+    return MPBP(
+        tables.astype(dtype), phi, psi,
+        jnp.broadcast_to(m.cores, (E,) + m.cores.shape).copy(),
+        jnp.zeros((E,), dtype),
+        jnp.broadcast_to(bel.cores, (N,) + bel.cores.shape).copy(),
+        jnp.zeros((N,), dtype),
+        jnp.zeros((N,), dtype), ga, graph,
+    )
+
+
+def _check_psi_symmetry(graph: Graph, psi):
+    """psi_ij^t must equal transpose(psi_ji^t) (reference ``check_ψs``,
+    ``mpbp.jl:40-58``)."""
+    p = np.asarray(psi)
+    pt = p[np.asarray(graph.rev_edge)].transpose(0, 1, 3, 2)
+    if not np.allclose(p, pt):
+        raise ValueError("psi on edge (i,j) must be the transpose of (j,i)")
+
+
+# ---------------------------------------------------------------------------
+# the sweep
+# ---------------------------------------------------------------------------
+
+def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int):
+    """op: combine two cavity trains (phys (Y, q)) — Hadamard on x_i,
+    ``prob_yy`` contraction on y, Kronecker on bonds, then truncate.
+
+    Mirrors ``op`` in ``compute_prob_ys`` (``recursive_bp_factor.jl:117-131``).
+    Lc: [T1, DL, DL, Y*q], Rc: [T1, DR, DR, Y*q] -> [T1, Dout, Dout, Y*q].
+    """
+    T1, DL = Lc.shape[0], Lc.shape[1]
+    DR = Rc.shape[1]
+    L = Lc.reshape(T1, DL, DL, Y, q)
+    R = Rc.reshape(T1, DR, DR, Y, q)
+    tmp = jnp.einsum("yabx,tmnax->tmnybx", pyy, L)       # [T1,DL,DL,Y,Y,q]
+    M = jnp.einsum("tmnybx,tuvbx->tmunvyx", tmp, R)      # [T1,DL,DR,DL,DR,Y,q]
+    cores = M.reshape(T1, DL * DR, DL * DR, Y * q)
+    tt = TensorTrain(cores, Llz + Rlz, (Y, q))
+    tt = compress(tt, trunc, Dout=Dout)
+    tt = normalize_eachmatrix(tt)
+    return tt.cores, tt.logz
+
+
+def _embed_first(Bc, Blz, pyy0, py0):
+    """Shortcut op(init, B): pure y-relabeling, no bond growth.
+    out[y, x] = sum_{a,b} pyy0[y, a, b, x] * py0[a, x] * B[b, x]."""
+    T1, Dm = Bc.shape[0], Bc.shape[1]
+    Y, q = py0.shape[0], py0.shape[1]
+    B = Bc.reshape(T1, Dm, Dm, Y, q)
+    W = jnp.einsum("yabx,ax->ybx", pyy0, py0)            # [Y, Y, q]
+    out = jnp.einsum("ybx,tmnbx->tmnyx", W, B)
+    return out.reshape(T1, Dm, Dm, Y * q), Blz
+
+
+def _embed_second(Bc, Blz, pyy1, py0):
+    """Shortcut op(B, init): out[y,x] = sum_{a,b} pyy1[y,a,b,x] B[a,x] py0[b,x]."""
+    T1, Dm = Bc.shape[0], Bc.shape[1]
+    Y, q = py0.shape[0], py0.shape[1]
+    B = Bc.reshape(T1, Dm, Dm, Y, q)
+    W = jnp.einsum("yabx,bx->yax", pyy1, py0)
+    out = jnp.einsum("yax,tmnax->tmnyx", W, B)
+    return out.reshape(T1, Dm, Dm, Y * q), Blz
+
+
+def _f_bp_partial(Cc, Clz, Wtab, phi, qj: int):
+    """Contract a cavity train with the (pre-built) transition table and the
+    node reweighting into an MPEM3 stack (``_f_bp_partial``,
+    ``recursive_bp_factor.jl:73-87``).
+
+    Cc: [T1, Dc, Dc, Y*q];  Wtab: [q(xp), q(xi), qj, Y]  ->
+    B3: [T1, Dc, Dc, q, qj, q(xp)].
+    Last time step: no transition factor, uniform over (xj, xp).
+    """
+    T1, Dc = Cc.shape[0], Cc.shape[1]
+    q = Wtab.shape[0]
+    Y = Wtab.shape[3]
+    C = Cc.reshape(T1, Dc, Dc, Y, q)
+    main = jnp.einsum("pijy,tmnyi,ti->tmnijp", Wtab, C[:-1], phi[:-1])
+    lastC = jnp.einsum("mnyi,i->mni", C[-1], phi[-1])    # sum over y
+    last = jnp.broadcast_to(lastC[:, :, :, None, None],
+                            (Dc, Dc, q, qj, q))
+    B3 = jnp.concatenate([main, last[None]], axis=0)
+    return B3, Clz
+
+
+def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
+                 psi_out, mask, Py_i, Pyp_i, Pxy_i, Py0_i, phi_i, deg_i,
+                 pyy_stack, trunc: SVDTrunc, trunc_cav: SVDTrunc, Dm: int,
+                 Dc: int, damp: float):
+    """Update all outgoing messages + the belief of one node.
+
+    Mirrors ``onebpiter!`` for RecursiveBPFactor
+    (``recursive_bp_factor.jl:146-165``).  Vmapped over nodes by the caller.
+
+    msgs_in_c: [K, T1, Dm, Dm, q*q]; psi_out: [K, T1, q, q]; mask: bool[K].
+    Returns (out_cores [K,T1,Dm,Dm,q*q], out_logz [K], bel_cores, bel_logz, f).
+    """
+    K, T1 = msgs_in_c.shape[0], msgs_in_c.shape[1]
+    q = phi_i.shape[1]
+    Y = Py0_i.shape[0]
+    dtype = msgs_in_c.dtype
+
+    # ---- lift each incoming message to y-space (recursive_bp_factor.jl:108-115)
+    A = msgs_in_c.reshape(K, T1, Dm, Dm, q, q)           # legs (x_k, x_i)
+    # B_k[m,n,y,xi] = sum_xk Pxy[k,y,xk,xi] psi_out[k,t,xi,xk] A[k,t,m,n,xk,xi]
+    B = jnp.einsum("kyci,ktic,ktmnci->ktmnyi", Pxy_i, psi_out, A)
+    # padded slots -> identity element (prob_y0 one-hot, bond (0,0))
+    ident = jnp.zeros((T1, Dm, Dm, Y, q), dtype)
+    ident = ident.at[:, 0, 0].set(jnp.broadcast_to(Py0_i, (T1, Y, q)))
+    B = jnp.where(mask[:, None, None, None, None, None], B, ident[None])
+    B = B.reshape(K, T1, Dm, Dm, Y * q)
+    Blz = jnp.where(mask, msgs_in_lz, 0.0)
+
+    pyy = pyy_stack
+    nYY = pyy.shape[0]
+
+    def pyy_at(d1):
+        return pyy[min(d1, nYY - 1)]
+
+    # ---- prefix folds L_k = fold(B_0..B_{k-1}), k = 1..K ------------------
+    Ls = [None] * (K + 1)
+    Ls[1] = _embed_first(B[0], Blz[0], pyy_at(0), Py0_i)
+    for k in range(1, K):
+        Lc, Llz = Ls[k]
+        Ls[k + 1] = _merge(Lc, Llz, B[k], Blz[k], pyy_at(k), trunc_cav,
+                           Dc, Y, q)
+
+    # ---- suffix folds R_k = fold(B_k..B_{K-1}), k = K-1..1 ----------------
+    Rs = [None] * (K + 1)
+    if K > 1:
+        Rs[K - 1] = _embed_second(B[K - 1], Blz[K - 1], pyy_at(1), Py0_i)
+        for k in range(K - 2, 0, -1):
+            Rc, Rlz = Rs[k + 1]
+            Rs[k] = _merge(B[k], Blz[k], Rc, Rlz, pyy_at(1), trunc_cav, Dc, Y, q)
+
+    # ---- cavity C_k = op(L_k, R_{k+1}) ------------------------------------
+    Cs = [None] * K
+    if K == 1:
+        # all-but-one of a single slot = the bare init element
+        Cs[0] = (ident.reshape(T1, Dm, Dm, Y * q), jnp.zeros((), dtype))
+    else:
+        Cs[0] = Rs[1]
+        Cs[K - 1] = Ls[K - 1]
+        for k in range(1, K - 1):
+            Lc, Llz = Ls[k]
+            Rc, Rlz = Rs[k + 1]
+            Cs[k] = _merge(Lc, Llz, Rc, Rlz, pyy_at(k), trunc_cav, Dc, Y, q)
+    full_c, full_lz = Ls[K]
+
+    # ---- outgoing messages (f_bp_partial_ij -> mpem2 -> compress ->
+    #      normalize -> damping), recursive_bp_factor.jl:154-158,168-179 ----
+    out_cores, out_lz, sum_logz = [], [], jnp.zeros((), dtype)
+    for k in range(K):
+        Cc, Clz = Cs[k]
+        B3, B3lz = _f_bp_partial(Cc, Clz, Pyp_i[k], phi_i, q)
+        mu = mpem3_to_mpem2(B3, B3lz)
+        mu = compress(mu, trunc, Dout=Dm, assume="left")
+        mu = normalize_eachmatrix(mu)
+        mu, logz_k = normalize(mu)
+        if damp > 0.0:
+            old = TensorTrain(msgs_out_old_c[k], msgs_out_old_lz[k], (q, q))
+            mixed = tt_sum(mu, old, damp / (1.0 - damp))
+            mixed = compress(mixed, trunc, Dout=Dm)
+            mixed, _ = normalize(mixed)
+            mu = mixed
+        out_cores.append(mu.cores)
+        out_lz.append(mu.logz)
+        sum_logz = sum_logz + jnp.where(mask[k], logz_k, 0.0)
+
+    # ---- belief: f_bp_partial_i on the full fold --------------------------
+    Wb = Py_i[:, :, None, :]                             # [q, q, 1, Y]
+    B3b, B3blz = _f_bp_partial(full_c, full_lz, Wb, phi_i, 1)
+    bel2 = mpem3_to_mpem2(B3b.reshape(T1, B3b.shape[1], B3b.shape[2], q, 1, q),
+                          B3blz)
+    bel2 = compress(bel2, trunc, Dout=Dm, assume="left")
+    # marginalize MPEM2 -> MPEM1 (sum the dummy x_j leg, mpems.jl:27)
+    bel1 = TensorTrain(
+        bel2.cores.reshape(T1, Dm, Dm, q, 1).sum(axis=4), bel2.logz, (q,))
+    bel1, logz_i = normalize(bel1)
+
+    d_i = deg_i.astype(dtype)
+    f_i = (d_i / 2.0 - 1.0) * logz_i - 0.5 * sum_logz
+    return (jnp.stack(out_cores), jnp.stack(out_lz),
+            bel1.cores, bel1.logz, f_i)
+
+
+@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp"))
+def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
+             Dcav: int | None = None, damp: float = 0.0) -> MPBP:
+    """One synchronous (Jacobi) BP sweep over all nodes.
+
+    Replaces the reference's threaded asynchronous loop (``iterate!``,
+    ``mpbp.jl:185-198``); convergence is checked by the caller.
+    """
+    trunc_cav = trunc if trunc_cav is None else trunc_cav
+    Dm = bp.D
+    Dcav = Dm if Dcav is None else Dcav
+    ga = bp.garrays
+    N, K = ga.in_edges.shape
+    q = bp.q
+
+    msgs_in_c = bp.msg_cores[ga.in_edges]        # [N, K, T1, Dm, Dm, qq]
+    msgs_in_lz = bp.msg_logz[ga.in_edges]
+    out_idx = jnp.minimum(ga.out_edges, bp.graph.E - 1)
+    msgs_out_old_c = bp.msg_cores[out_idx]
+    msgs_out_old_lz = bp.msg_logz[out_idx]
+    psi_out = bp.psi[out_idx]                    # [N, K, T1, q, q] legs (xi, xk)
+
+    def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg):
+        return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy,
+                            py0, ph, dg, bp.tables.Pyy, trunc, trunc_cav,
+                            Dm, Dcav, damp)
+
+    tb = bp.tables
+
+    def prep(tbl):  # node-broadcast tables (size-1 leading axis) are unmapped
+        return (tbl, 0) if tbl.shape[0] == N else (tbl[0], None)
+
+    py, ax_py = prep(tb.Py)
+    pyp, ax_pyp = prep(tb.Pyp)
+    pxy, ax_pxy = prep(tb.Pxy)
+    py0, ax_py0 = prep(tb.Py0)
+    out_c, out_lz, bel_c, bel_lz, f = jax.vmap(
+        node_fn,
+        in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0),
+    )(
+        msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
+        ga.in_mask, py, pyp, pxy, py0, bp.phi, ga.degree,
+    )
+
+    # scatter new messages; padded slots carry out-edge id E -> dropped
+    flat_idx = ga.out_edges.reshape(-1)
+    new_cores = bp.msg_cores.at[flat_idx].set(
+        out_c.reshape((N * K,) + out_c.shape[2:]), mode="drop")
+    new_lz = bp.msg_logz.at[flat_idx].set(out_lz.reshape(-1), mode="drop")
+
+    return MPBP(bp.tables, bp.phi, bp.psi, new_cores, new_lz,
+                bel_c, bel_lz, f, ga, bp.graph)
+
+
+# ---------------------------------------------------------------------------
+# driver & observables
+# ---------------------------------------------------------------------------
+
+def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
+            tol: float = 1e-10, damp: float = 0.0,
+            trunc_cav: SVDTrunc | None = None, Dcav: int | None = None,
+            callback=None):
+    """Run sweeps until the marginals stop moving (reference ``iterate!``).
+
+    Returns (bp, n_iters, deltas)."""
+    trunc = default_truncator() if trunc is None else trunc
+    m_old = beliefs(bp)
+    deltas = []
+    for it in range(maxiter):
+        bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp)
+        m_new = beliefs(bp)
+        delta = float(jnp.max(jnp.abs(m_new - m_old)))
+        deltas.append(delta)
+        if callback is not None:
+            callback(bp, it, delta)
+        if delta < tol:
+            return bp, it + 1, deltas
+        m_old = m_new
+    return bp, maxiter, deltas
+
+
+def beliefs(bp: MPBP) -> jax.Array:
+    """Single-site time marginals [N, T1, q] (reference ``beliefs``)."""
+    return jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (bp.q,))))(
+        bp.bel_cores, bp.bel_logz)
+
+
+def beliefs_tu(bp: MPBP, maxdist: int | None = None) -> jax.Array:
+    """Two-time marginals [N, T1, T1, q, q] (reference ``beliefs_tu``)."""
+    return jax.vmap(
+        lambda c, z: twovar_marginals(TensorTrain(c, z, (bp.q,)), maxdist)
+    )(bp.bel_cores, bp.bel_logz)
+
+
+def means(bp: MPBP, values: jax.Array | None = None) -> jax.Array:
+    """<f(x_i^t)> with f given as a value table [q] (default 0..q-1)."""
+    v = jnp.arange(bp.q, dtype=bp.phi.dtype) if values is None else values
+    return jnp.einsum("ntq,q->nt", beliefs(bp), v)
+
+
+def autocorrelations(bp: MPBP, values: jax.Array | None = None,
+                     maxdist: int | None = None) -> jax.Array:
+    """<f(x_i^t) f(x_i^u)> for t < u, [N, T1, T1] (reference
+    ``autocorrelations``, ``mpbp.jl:245-255``)."""
+    v = jnp.arange(bp.q, dtype=bp.phi.dtype) if values is None else values
+    tu = beliefs_tu(bp, maxdist)
+    return jnp.einsum("ntupq,p,q->ntu", tu, v, v)
+
+
+def autocovariances(bp: MPBP, values: jax.Array | None = None,
+                    maxdist: int | None = None) -> jax.Array:
+    """Autocorrelations minus the product of means (``mpbp.jl:288-296``)."""
+    r = autocorrelations(bp, values, maxdist)
+    m = means(bp, values)
+    c = r - m[:, :, None] * m[:, None, :]
+    # only entries t < u are meaningful; zero the rest like `r` does
+    T1 = m.shape[1]
+    mask = jnp.triu(jnp.ones((T1, T1), bool), k=1)
+    return c * mask[None]
+
+
+def pair_beliefs(bp: MPBP):
+    """Per-directed-edge pair marginals [E, T1, q, q] and per-node logz
+    contributions (reference ``pair_beliefs``/``_pair_beliefs!``,
+    ``mpbp.jl:200-235``)."""
+    q = bp.q
+    rev = jnp.asarray(bp.graph.rev_edge)
+    mu_ij_c, mu_ij_z = bp.msg_cores, bp.msg_logz
+    mu_ji_c, mu_ji_z = bp.msg_cores[rev], bp.msg_logz[rev]
+
+    def one(cij, zij, cji, zji, psi_e):
+        A = cij.reshape(cij.shape[0], bp.D, bp.D, q, q)
+        Bt = cji.reshape(cij.shape[0], bp.D, bp.D, q, q)
+        # b[t][(a,c),(b,d), xi, xj] = A[a,b,xi,xj] B[c,d,xj,xi] psi[xi,xj]
+        M = jnp.einsum("tabij,tcdji,tij->tacbdij", A, Bt, psi_e)
+        T1 = M.shape[0]
+        cores = M.reshape(T1, bp.D * bp.D, bp.D * bp.D, q * q)
+        tt = TensorTrain(cores, zij + zji, (q, q))
+        lg, _ = lognorm(tt)
+        marg = marginals(tt).reshape(T1, q, q)
+        return marg, lg
+
+    marg, lg = jax.vmap(one)(mu_ij_c, mu_ij_z, mu_ji_c, mu_ji_z, bp.psi)
+    # node logz: sum over incident edges (1/d_j - 1/2) log z_ij  (mpbp.jl:230)
+    dst = jnp.asarray(bp.graph.edge_dst)
+    deg = bp.garrays.degree.astype(marg.dtype)
+    w = 1.0 / jnp.maximum(deg[dst], 1) - 0.5
+    logz_nodes = jnp.zeros((bp.N,), marg.dtype).at[dst].add(w * lg)
+    return marg, logz_nodes
+
+
+def pair_correlations(bp: MPBP, values: jax.Array | None = None) -> jax.Array:
+    v = jnp.arange(bp.q, dtype=bp.phi.dtype) if values is None else values
+    pb, _ = pair_beliefs(bp)
+    return jnp.einsum("etpq,p,q->et", pb, v, v)
+
+
+def alternate_marginals(bp: MPBP) -> jax.Array:
+    """p(x_i^t, x_j^{t+1}) per directed edge, [E, T, q, q] (reference
+    ``alternate_marginals``, ``mpbp.jl:270-280``)."""
+    q = bp.q
+    rev = jnp.asarray(bp.graph.rev_edge)
+
+    def one(cij, zij, cji, zji, psi_e):
+        T1 = cij.shape[0]
+        A = cij.reshape(T1, bp.D, bp.D, q, q)
+        Bt = cji.reshape(T1, bp.D, bp.D, q, q)
+        M = jnp.einsum("tabij,tcdji,tij->tacbdij", A, Bt, psi_e)
+        cores = M.reshape(T1, bp.D * bp.D, bp.D * bp.D, q * q)
+        tt = TensorTrain(cores, zij + zji, (q, q))
+        tv = twovar_marginals(tt, maxdist=1)  # [T1, T1, q*q, q*q]
+        tv = tv.reshape(T1, T1, q, q, q, q)
+        # p(x_i^t, x_j^{t+1}) = sum_{x_j^t, x_i^{t+1}} b(t, t+1)
+        diag = jnp.stack([tv[t, t + 1].sum(axis=(1, 2)) for t in range(T1 - 1)])
+        return diag
+
+    return jax.vmap(one)(bp.msg_cores, bp.msg_logz, bp.msg_cores[rev],
+                         bp.msg_logz[rev], bp.psi)
+
+
+def alternate_correlations(bp: MPBP, values: jax.Array | None = None):
+    v = jnp.arange(bp.q, dtype=bp.phi.dtype) if values is None else values
+    am = alternate_marginals(bp)
+    return jnp.einsum("etpq,p,q->et", am, v, v)
+
+
+def bethe_free_energy(bp: MPBP) -> jax.Array:
+    """sum_i f_i (reference ``bethe_free_energy``, ``mpbp.jl:298``)."""
+    return jnp.sum(bp.f)
+
+
+def logprob(bp: MPBP, x: np.ndarray) -> float:
+    """Log posterior probability of a trajectory x[N, T1]
+    (reference ``logprob``, ``mpbp.jl:301-324``)."""
+    from .factors import transition_probs
+    g = bp.graph
+    x = jnp.asarray(x)
+    N, T1 = x.shape
+    nbr = jnp.asarray(np.minimum(g.nbr, g.N - 1))
+    mask = jnp.asarray(g.in_mask)
+    lp = jnp.sum(jnp.log(bp.phi[jnp.arange(N), 0, x[:, 0]]))
+    for t in range(T1 - 1):
+        xn = x[:, t][nbr]                                # [N, K]
+        p = transition_probs(bp.tables, mask, xn, x[:, t])
+        lp += jnp.sum(jnp.log(p[jnp.arange(N), x[:, t + 1]]))
+        lp += jnp.sum(jnp.log(bp.phi[jnp.arange(N), t + 1, x[:, t + 1]]))
+    src = jnp.asarray(g.edge_src)
+    dst = jnp.asarray(g.edge_dst)
+    for t in range(T1):
+        lp += 0.5 * jnp.sum(jnp.log(bp.psi[jnp.arange(g.E), t, x[src, t],
+                                           x[dst, t]]))
+    return float(lp)
+
+
+# ---------------------------------------------------------------------------
+# resets (reference mpbp.jl:72-102)
+# ---------------------------------------------------------------------------
+
+def reset_messages(bp: MPBP) -> MPBP:
+    fresh = mpbp(bp.graph, bp.tables, bp.T, bp.D, dtype=bp.phi.dtype)
+    return dataclasses.replace(bp, msg_cores=fresh.msg_cores,
+                               msg_logz=fresh.msg_logz)
+
+
+def reset_beliefs(bp: MPBP) -> MPBP:
+    fresh = mpbp(bp.graph, bp.tables, bp.T, bp.D, dtype=bp.phi.dtype)
+    return dataclasses.replace(bp, bel_cores=fresh.bel_cores,
+                               bel_logz=fresh.bel_logz)
+
+
+def reset_observations(bp: MPBP) -> MPBP:
+    return dataclasses.replace(bp, phi=jnp.ones_like(bp.phi),
+                               psi=jnp.ones_like(bp.psi))

@@ -1,0 +1,457 @@
+"""Batched, padded tensor trains — the TPU-native L0 engine.
+
+Re-designs the reference's TensorTrains.jl surface (imported at
+``/root/reference/src/MatrixProductBP.jl:27-37``; semantics inferred from call
+sites, see SURVEY.md §2) for XLA:
+
+* A train is a dense stack ``cores[T1, D, D, P]`` with **static** bond capacity
+  ``D`` and flattened physical dimension ``P``.  Ragged bond dimensions are
+  represented by zero-padding, which is *exact* for every TT operation
+  (products/sums of padded matrices stay padded; padded SVD directions carry
+  zero singular values).  Boundary convention: only row 0 of ``cores[0]`` and
+  column 0 of ``cores[-1]`` are populated.
+* The log-domain scalar ``logz`` replaces LogarithmicNumbers.jl
+  (``src/mpems.jl:38``): the represented tensor is
+  ``p(x) = (prod_t cores[t][:, :, x_t])[0, 0] * exp(-logz)``.
+* Truncation never reshapes: policies zero singular directions
+  (see ``truncation.py``) and sweeps crop the sorted bond axis to a static
+  capacity.
+* Everything here is jit-able and vmap-able; batching over edges/nodes happens
+  at the caller via ``jax.vmap``.
+
+SVD/QR sweeps are ``lax.scan`` over the time axis so that, once vmapped over
+the edge/node batch, each step is one large *batched* QR/SVD — the layout the
+TPU backend wants.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .truncation import SVDTrunc, TruncThresh
+
+__all__ = [
+    "TensorTrain",
+    "flat_tt",
+    "rand_tt",
+    "evaluate",
+    "lognorm",
+    "normalization",
+    "normalize",
+    "normalize_eachmatrix",
+    "marginals",
+    "twovar_marginals",
+    "orthogonalize_left",
+    "orthogonalize_right",
+    "compress",
+    "tt_sum",
+    "tt_dot",
+    "bond_ranks",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TensorTrain:
+    """Finite tensor train with static bond capacity and log-scale.
+
+    Attributes:
+      cores: f[T1, D, D, P] — time-major stack of cores, physical legs
+        flattened into P (row-major over ``phys``).
+      logz:  f[] — log normalization factor; represented value is
+        ``prod(cores)[0,0] * exp(-logz)``.
+      phys:  static tuple of physical dimensions (e.g. (q,) for beliefs/MPEM1,
+        (qi, qj) for messages/MPEM2 — reference ``src/mpems.jl:1-32``).
+    """
+
+    cores: jax.Array
+    logz: jax.Array
+    phys: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    def tree_flatten(self):
+        return (self.cores, self.logz), self.phys
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        cores, logz = children
+        return cls(cores, logz, aux)
+
+    # -- conveniences ------------------------------------------------------
+    @property
+    def T1(self) -> int:
+        return self.cores.shape[0]
+
+    @property
+    def D(self) -> int:
+        return self.cores.shape[1]
+
+    @property
+    def P(self) -> int:
+        return self.cores.shape[3]
+
+    @property
+    def dtype(self):
+        return self.cores.dtype
+
+
+def _flat_phys(phys: Sequence[int]) -> int:
+    return int(math.prod(phys)) if phys else 1
+
+
+def flat_tt(T1: int, D: int, phys: Sequence[int], dtype=jnp.float64) -> TensorTrain:
+    """Uniform train of value 1 for every configuration (bond dim 1).
+
+    Mirrors ``flat_tt`` / ``flat_mpem1/2`` (``src/mpems.jl:6,20``): entries all
+    equal, bond dimension 1, embedded into capacity ``D``.
+    """
+    P = _flat_phys(phys)
+    cores = jnp.zeros((T1, D, D, P), dtype=dtype)
+    cores = cores.at[:, 0, 0, :].set(1.0)
+    return TensorTrain(cores, jnp.zeros((), dtype=dtype), tuple(phys))
+
+
+def rand_tt(key, T1: int, D: int, phys: Sequence[int], bond: int | None = None,
+            dtype=jnp.float64) -> TensorTrain:
+    """Random positive train with effective bond ``bond`` (default ``D``)."""
+    P = _flat_phys(phys)
+    bond = D if bond is None else bond
+    vals = jax.random.uniform(key, (T1, D, D, P), dtype=dtype)
+    mask = jnp.zeros((T1, D, D, 1), dtype=dtype)
+    mask = mask.at[:, :bond, :bond].set(1.0)
+    mask = mask.at[0, 1:, :].set(0.0)   # first core: row 0 only
+    mask = mask.at[-1, :, 1:].set(0.0)  # last core: col 0 only
+    return TensorTrain(vals * mask, jnp.zeros((), dtype=dtype), tuple(phys))
+
+
+# ---------------------------------------------------------------------------
+# evaluation / normalization
+# ---------------------------------------------------------------------------
+
+def evaluate(tt: TensorTrain, x: jax.Array) -> jax.Array:
+    """Value at configuration ``x`` (ints indexing the flattened phys axis).
+
+    Mirrors ``TensorTrains.evaluate`` (used at ``src/mpems.jl:56-64``).
+    """
+    sel = jnp.take_along_axis(
+        tt.cores, x.reshape(-1, 1, 1, 1).astype(jnp.int32), axis=3
+    )[..., 0]  # [T1, D, D]
+
+    def step(v, M):
+        return v @ M, None
+
+    v0 = jnp.zeros((tt.D,), tt.dtype).at[0].set(1.0)
+    v, _ = jax.lax.scan(step, v0, sel)
+    return v[0] * jnp.exp(-tt.logz)
+
+
+def _safe_scale(m: jax.Array) -> jax.Array:
+    """Max-abs scale, guarded against 0/NaN/Inf (cf. ``src/mpems.jl:76-80``)."""
+    ok = jnp.isfinite(m) & (m > 0)
+    return jnp.where(ok, m, jnp.ones_like(m))
+
+
+def _accumulate(tt: TensorTrain, reverse: bool):
+    """Environment sweep of the phys-summed transfer matrices.
+
+    Returns (envs [T1+1, D], logs [T1+1]) with envs[t] = rescaled product of
+    transfers 0..t-1 (or T1-1..t for reverse), logs the accumulated log-scales.
+    Replaces ``accumulate_L/R`` (``src/bp_core.jl:107``).
+    """
+    transfer = tt.cores.sum(axis=3)  # [T1, D, D]
+
+    def step(carry, M):
+        v, lg = carry
+        v2 = M @ v if reverse else v @ M
+        m = _safe_scale(jnp.max(jnp.abs(v2)))
+        v2 = v2 / m
+        return (v2, lg + jnp.log(m)), (v2, lg + jnp.log(m))
+
+    v0 = jnp.zeros((tt.D,), tt.dtype).at[0].set(1.0)
+    init = (v0, jnp.zeros((), tt.dtype))
+    _, (vs, lgs) = jax.lax.scan(step, init, transfer, reverse=reverse)
+    if reverse:
+        envs = jnp.concatenate([vs, v0[None]], axis=0)
+        logs = jnp.concatenate([lgs, jnp.zeros((1,), tt.dtype)], axis=0)
+    else:
+        envs = jnp.concatenate([v0[None], vs], axis=0)
+        logs = jnp.concatenate([jnp.zeros((1,), tt.dtype), lgs], axis=0)
+    return envs, logs
+
+
+def lognorm(tt: TensorTrain):
+    """(log |Z|, sign) of the total sum Z = sum_x p(x).
+
+    ``real(log(normalization(A)))`` of the reference (``mpbp.jl:135``).
+    """
+    envs, logs = _accumulate(tt, reverse=False)
+    z = envs[-1][0]
+    return jnp.log(jnp.abs(z)) + logs[-1] - tt.logz, jnp.sign(z)
+
+
+def normalization(tt: TensorTrain) -> jax.Array:
+    """Z = sum_x p(x) (may overflow for long horizons; prefer ``lognorm``)."""
+    lg, sg = lognorm(tt)
+    return sg * jnp.exp(lg)
+
+
+def normalize(tt: TensorTrain):
+    """Rescale so the total sum is 1; return (tt', log-norm).
+
+    Mirrors ``normalize!`` whose return value feeds the Bethe free energy
+    (``mpbp.jl:130-136``, ``recursive_bp_factor.jl:162``).
+    """
+    lg, sg = lognorm(tt)
+    T1 = tt.T1
+    scale = jnp.exp(-(lg + tt.logz) / T1)
+    cores = tt.cores * scale
+    cores = cores.at[0].multiply(sg)
+    return TensorTrain(cores, jnp.zeros((), tt.dtype), tt.phys), lg
+
+
+def normalize_eachmatrix(tt: TensorTrain) -> TensorTrain:
+    """Rescale each core to max-abs 1, folding scales into ``logz`` so the
+    represented tensor is unchanged (``normalize_eachmatrix!``)."""
+    m = _safe_scale(jnp.max(jnp.abs(tt.cores), axis=(1, 2, 3)))  # [T1]
+    cores = tt.cores / m[:, None, None, None]
+    return TensorTrain(cores, tt.logz - jnp.sum(jnp.log(m)), tt.phys)
+
+
+# ---------------------------------------------------------------------------
+# marginals
+# ---------------------------------------------------------------------------
+
+def marginals(tt: TensorTrain) -> jax.Array:
+    """Per-time single-site marginals [T1, P], each normalized to sum 1.
+
+    Mirrors ``TensorTrains.marginals`` (``mpbp.jl:237``).
+    """
+    L, _ = _accumulate(tt, reverse=False)
+    R, _ = _accumulate(tt, reverse=True)
+    # p_t[x] ∝ L[t] · cores[t][:, :, x] · R[t+1]
+    p = jnp.einsum("tm,tmnp,tn->tp", L[:-1], tt.cores, R[1:])
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def twovar_marginals(tt: TensorTrain, maxdist: int | None = None) -> jax.Array:
+    """Two-time marginals [T1, T1, P, P]; entry (t, u) for t < u <= t+maxdist.
+
+    Mirrors ``twovar_marginals`` (``mpbp.jl:251``).
+    """
+    T1, D, P = tt.T1, tt.D, tt.P
+    maxdist = T1 if maxdist is None else maxdist
+    L, _ = _accumulate(tt, reverse=False)
+    R, _ = _accumulate(tt, reverse=True)
+    transfer = tt.cores.sum(axis=3)
+
+    out = jnp.zeros((T1, T1, P, P), tt.dtype)
+    for t in range(T1 - 1):
+        # E[x, n] = L[t] · cores[t][:, :, x]   (then propagate over u)
+        E0 = jnp.einsum("m,mnp->pn", L[t], tt.cores[t])
+
+        def step(E, inp):
+            core_u, R_u1, M_u = inp
+            p = jnp.einsum("pm,mnq,n->pq", E, core_u, R_u1)
+            return E @ M_u, p
+
+        us = jnp.arange(t + 1, T1)
+        _, ps = jax.lax.scan(
+            step, E0, (tt.cores[t + 1:], R[t + 2:], transfer[t + 1:])
+        )
+        # normalize each (t,u) pair and mask beyond maxdist
+        s = jnp.sum(ps, axis=(1, 2), keepdims=True)
+        ps = ps / jnp.where(s != 0, s, 1.0)
+        valid = (us - t) <= maxdist
+        ps = ps * valid[:, None, None]
+        out = out.at[t, t + 1:].set(ps)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# canonical forms & compression
+# ---------------------------------------------------------------------------
+
+def _fit_axis(a: jax.Array, axis: int, size: int) -> jax.Array:
+    """Crop or zero-pad ``axis`` of ``a`` to ``size``."""
+    cur = a.shape[axis]
+    if cur == size:
+        return a
+    if cur > size:
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(0, size)
+        return a[tuple(idx)]
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, size - cur)
+    return jnp.pad(a, pad)
+
+
+def orthogonalize_left(tt: TensorTrain) -> TensorTrain:
+    """Left-canonical gauge via a left-to-right QR sweep (value-preserving)."""
+    T1, D, P = tt.T1, tt.D, tt.P
+
+    def step(carry, core):
+        C, lg = carry                       # C: [D, D] to absorb on left bond
+        core = jnp.einsum("km,mnp->knp", C, core)
+        M = core.transpose(0, 2, 1).reshape(D * P, D)
+        Q, Rm = jnp.linalg.qr(M)            # Q: [D*P, D], Rm: [D, D]
+        m = _safe_scale(jnp.max(jnp.abs(Rm)))
+        new_core = Q.reshape(D, P, D).transpose(0, 2, 1)
+        return (Rm / m, lg - jnp.log(m)), new_core
+
+    init = (jnp.eye(D, dtype=tt.dtype), tt.logz)
+    (C, lg), cores = jax.lax.scan(step, init, tt.cores[:-1])
+    last = jnp.einsum("km,mnp->knp", C, tt.cores[-1])
+    cores = jnp.concatenate([cores, last[None]], axis=0)
+    return TensorTrain(cores, lg, tt.phys)
+
+
+def orthogonalize_right(tt: TensorTrain) -> TensorTrain:
+    """Right-canonical gauge via a right-to-left LQ sweep (value-preserving)."""
+    T1, D, P = tt.T1, tt.D, tt.P
+
+    def step(carry, core):
+        C, lg = carry                       # absorb on right bond
+        core = jnp.einsum("mnp,nk->mkp", core, C)
+        M = core.transpose(0, 2, 1).reshape(D, P * D)   # [m, (p, n)]
+        Q, Rm = jnp.linalg.qr(M.T)          # M^T = Q R  =>  M = R^T Q^T
+        m = _safe_scale(jnp.max(jnp.abs(Rm)))
+        new_core = Q.T.reshape(D, P, D).transpose(0, 2, 1)
+        return (Rm.T / m, lg - jnp.log(m)), new_core
+
+    init = (jnp.eye(D, dtype=tt.dtype), tt.logz)
+    (C, lg), cores = jax.lax.scan(step, init, tt.cores[1:], reverse=True)
+    first = jnp.einsum("mnp,nk->mkp", tt.cores[0], C)
+    cores = jnp.concatenate([first[None], cores], axis=0)
+    return TensorTrain(cores, lg, tt.phys)
+
+
+def _sweep_truncate_rl(cores: jax.Array, logz: jax.Array, trunc: SVDTrunc,
+                       Dout: int):
+    """Right-to-left truncating SVD sweep; input must be left-orthogonal.
+
+    Matches ``compress!(...; is_orthogonal=:left)`` after the reference's
+    MPEM3→MPEM2 left sweep (``mpbp.jl:129``, ``recursive_bp_factor.jl:156``).
+    Output capacity ``Dout``.
+    """
+    T1, Din, _, P = cores.shape
+    last = _fit_axis(cores[-1], 1, Dout)        # col-0-only: crop is exact
+
+    def step(carry, core):
+        nxt, lg = carry                          # nxt: [Din, Dout, P]
+        M = nxt.transpose(0, 2, 1).reshape(Din, P * Dout)
+        U, S, Vt = jnp.linalg.svd(M, full_matrices=False)
+        S = S * trunc.keep_mask(S).astype(S.dtype)
+        k = S.shape[0]
+        new_core = _fit_axis(Vt.reshape(k, P, Dout).transpose(0, 2, 1), 0, Dout)
+        C = _fit_axis(U * S[None, :], 1, Dout)   # [Din, Dout]
+        m = _safe_scale(jnp.max(jnp.abs(C)))
+        absorbed = jnp.einsum("mnp,nk->mkp", core, C / m)
+        return (absorbed, lg - jnp.log(m)), new_core
+
+    init = (last, logz)
+    (first, lg), rest = jax.lax.scan(step, init, cores[:-1], reverse=True)
+    first = _fit_axis(first, 0, Dout)            # row-0-only: crop is exact
+    out = jnp.concatenate([first[None], rest], axis=0)
+    return out, lg
+
+
+def _sweep_truncate_lr(cores: jax.Array, logz: jax.Array, trunc: SVDTrunc,
+                       Dout: int):
+    """Left-to-right truncating SVD sweep; input must be right-orthogonal."""
+    T1, Din, _, P = cores.shape
+    first = _fit_axis(cores[0], 0, Dout)
+
+    def step(carry, core):
+        prv, lg = carry                          # prv: [Dout, Din, P]
+        M = prv.transpose(0, 2, 1).reshape(Dout * P, Din)
+        U, S, Vt = jnp.linalg.svd(M, full_matrices=False)
+        S = S * trunc.keep_mask(S).astype(S.dtype)
+        k = S.shape[0]
+        new_core = _fit_axis(U.reshape(Dout, P, k).transpose(0, 2, 1), 1, Dout)
+        C = _fit_axis(S[:, None] * Vt, 0, Dout)  # [Dout, Din]
+        m = _safe_scale(jnp.max(jnp.abs(C)))
+        absorbed = jnp.einsum("km,mnp->knp", C / m, core)
+        return (absorbed, lg - jnp.log(m)), new_core
+
+    init = (first, logz)
+    (last, lg), rest = jax.lax.scan(step, init, cores[1:])
+    last = _fit_axis(last, 1, Dout)
+    out = jnp.concatenate([rest, last[None]], axis=0)
+    return out, lg
+
+
+def compress(tt: TensorTrain, trunc: SVDTrunc | None = None,
+             Dout: int | None = None, assume: str | None = None) -> TensorTrain:
+    """Truncated-SVD compression to bond capacity ``Dout``.
+
+    ``assume``: None (orthogonalize first), 'left' or 'right' if the input is
+    already canonical on that side.  Mirrors ``compress!`` call sites
+    (``recursive_bp_factor.jl:127,156``).
+    """
+    trunc = TruncThresh(0.0) if trunc is None else trunc
+    Dout = tt.D if Dout is None else Dout
+    if assume == "left":
+        cores, lg = _sweep_truncate_rl(tt.cores, tt.logz, trunc, Dout)
+    elif assume == "right":
+        cores, lg = _sweep_truncate_lr(tt.cores, tt.logz, trunc, Dout)
+    else:
+        o = orthogonalize_right(tt)
+        cores, lg = _sweep_truncate_lr(o.cores, o.logz, trunc, Dout)
+    return TensorTrain(cores, lg, tt.phys)
+
+
+# ---------------------------------------------------------------------------
+# algebra
+# ---------------------------------------------------------------------------
+
+def tt_sum(a: TensorTrain, b: TensorTrain, wb) -> TensorTrain:
+    """Direct-sum combination ``a + wb * b`` with bond capacity D_a + D_b.
+
+    Mirrors ``_compose`` used for damping (``recursive_bp_factor.jl:173``);
+    the doubled bond is re-compressed by the caller.
+    """
+    T1, Da, P = a.T1, a.D, a.P
+    Db = b.D
+    # put both trains on a's log-scale; fold weight & scale into b's first core
+    scale = wb * jnp.exp(a.logz - b.logz)
+    bc = b.cores.at[0].multiply(scale)
+    D = Da + Db
+    cores = jnp.zeros((T1, D, D, P), a.dtype)
+    cores = cores.at[:, :Da, :Da].set(a.cores)
+    cores = cores.at[:, Da:, Da:].set(bc)
+    # boundary: both trains enter/exit through row/col 0
+    first = jnp.zeros((D, D, P), a.dtype)
+    first = first.at[0, :Da].set(a.cores[0][0])
+    first = first.at[0, Da:].set(bc[0][0])
+    cores = cores.at[0].set(first)
+    last = jnp.zeros((D, D, P), a.dtype)
+    last = last.at[:Da, 0].set(a.cores[-1][:, 0])
+    last = last.at[Da:, 0].set(bc[-1][:, 0])
+    cores = cores.at[-1].set(last)
+    return TensorTrain(cores, a.logz, a.phys)
+
+
+def tt_dot(a: TensorTrain, b: TensorTrain) -> jax.Array:
+    """Inner product sum_x a(x) b(x) (reference ``dot`` for overlaps)."""
+
+    def step(E, cores):
+        ca, cb = cores
+        E2 = jnp.einsum("mk,mnp,kjp->nj", E, ca, cb)
+        return E2, None
+
+    E0 = jnp.zeros((a.D, b.D), a.dtype).at[0, 0].set(1.0)
+    E, _ = jax.lax.scan(step, E0, (a.cores, b.cores))
+    return E[0, 0] * jnp.exp(-a.logz - b.logz)
+
+
+def bond_ranks(tt: TensorTrain, tol: float = 0.0) -> jax.Array:
+    """Effective bond dimensions (diagnostic): numerical ranks between cores."""
+    o = orthogonalize_right(tt)
+    c = compress(o, TruncThresh(0.0), assume="right")
+    # count nonzero rows of each left bond
+    nz = jnp.any(jnp.abs(c.cores) > tol, axis=(2, 3))
+    return jnp.sum(nz, axis=1)

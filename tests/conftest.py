@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with 8 virtual devices (multi-chip sharding
+tests run on a simulated mesh) and float64 for enumeration-grade accuracy.
+
+Note: the container's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon (the TPU tunnel), so env vars set here are too late — the
+platform must be forced through jax.config instead.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
