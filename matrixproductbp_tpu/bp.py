@@ -330,9 +330,10 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     msgs_out_old_lz = bp.msg_logz[out_idx]
     psi_out = bp.psi[out_idx]                    # [N, K, T1, q, q] legs (xi, xk)
 
-    def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg):
+    def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg,
+                pyy):
         return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy,
-                            py0, ph, dg, bp.tables.Pyy, trunc, trunc_cav,
+                            py0, ph, dg, pyy, trunc, trunc_cav,
                             Dm, Dcav, damp)
 
     tb = bp.tables
@@ -344,12 +345,14 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     pyp, ax_pyp = prep(tb.Pyp)
     pxy, ax_pxy = prep(tb.Pxy)
     py0, ax_py0 = prep(tb.Py0)
+    pyy, ax_pyy = prep(tb.Pyy)
     out_c, out_lz, bel_c, bel_lz, f = jax.vmap(
         node_fn,
-        in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0),
+        in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0,
+                 ax_pyy),
     )(
         msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
-        ga.in_mask, py, pyp, pxy, py0, bp.phi, ga.degree,
+        ga.in_mask, py, pyp, pxy, py0, bp.phi, ga.degree, pyy,
     )
 
     # scatter new messages; padded slots carry out-edge id E -> dropped
@@ -375,17 +378,21 @@ def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
     Returns (bp, n_iters, deltas)."""
     trunc = default_truncator() if trunc is None else trunc
     m_old = beliefs(bp)
+    f_old = bp.f
     deltas = []
     for it in range(maxiter):
         bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp)
         m_new = beliefs(bp)
-        delta = float(jnp.max(jnp.abs(m_new - m_old)))
+        # convergence on marginals AND free-energy contributions: under hard
+        # observations beliefs can freeze a sweep before the f ledger settles
+        delta = float(jnp.maximum(jnp.max(jnp.abs(m_new - m_old)),
+                                  jnp.max(jnp.abs(bp.f - f_old))))
         deltas.append(delta)
         if callback is not None:
             callback(bp, it, delta)
         if delta < tol:
             return bp, it + 1, deltas
-        m_old = m_new
+        m_old, f_old = m_new, bp.f
     return bp, maxiter, deltas
 
 

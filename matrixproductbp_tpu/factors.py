@@ -49,11 +49,12 @@ __all__ = [
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RecursiveFactorTables:
-    Py: jax.Array    # [N, q, q, Y]      (x', x, y)
-    Pyp: jax.Array   # [N, K, q, q, q, Y] (x', x, xk, y_cav)
-    Pxy: jax.Array   # [N, K, Y, q, q]   (y, xk, xi)
-    Pyy: jax.Array   # [K, Y, Y, Y, q]   (d1, y, y_acc, y_new, xi)
-    Py0: jax.Array   # [N, Y, q]         (y, xi)
+    Py: jax.Array    # [N, q, q, Y]       (x', x, y)
+    Pyp: jax.Array   # [N, K, q, q, q, Y]  (x', x, xk, y_cav)
+    Pxy: jax.Array   # [N, K, Y, q, q]    (y, xk, xi)
+    Pyy: jax.Array   # [N, K, Y, Y, Y, q] (d1, y, y_first, y_second, xi)
+    Py0: jax.Array   # [N, Y, q]          (y, xi)
+    # Any leading node axis may be 1 (broadcast) for homogeneous factors.
 
     def tree_flatten(self):
         return (self.Py, self.Pyp, self.Pxy, self.Pyy, self.Py0), None
@@ -220,23 +221,21 @@ def build_tables(graph: Graph, specs: Sequence[FactorSpec],
     Py = np.zeros((N, q, q, Y), dtype)
     Pyp = np.zeros((N, K, q, q, q, Y), dtype)
     Pxy = np.zeros((N, K, Y, q, q), dtype)
-    Pyy = np.zeros((max(K, 1), Y, Y, Y, q), dtype)
+    Pyy = np.zeros((N, max(K, 1), Y, Y, Y, q), dtype)
     Py0 = np.zeros((N, Y, q), dtype)
-
-    # Merge tensor, indexed by d1 = #elements in the *first* argument
-    # (so Pyy[d1][y, y_first, y_second, xi]); evaluated on the first spec —
-    # structural for every reference factor — and d2 is never used by any
-    # reference implementation.
-    s0 = specs[0]
-    for d1 in range(max(K, 1)):
-        for y in range(Y):
-            for y1 in range(Y):
-                for y2 in range(Y):
-                    for xi in range(q):
-                        Pyy[d1, y, y1, y2, xi] = s0.prob_yy(y, y1, y2, xi, d1, 1)
 
     for i in range(N):
         s = specs[i]
+        # Merge tensor, indexed by d1 = #elements in the *first* argument
+        # (so Pyy[i, d1][y, y_first, y_second, xi]); d2 is never used by any
+        # reference implementation.
+        for d1 in range(max(K, 1)):
+            for y in range(Y):
+                for y1 in range(Y):
+                    for y2 in range(Y):
+                        for xi in range(q):
+                            Pyy[i, d1, y, y1, y2, xi] = \
+                                s.prob_yy(y, y1, y2, xi, d1, 1)
         d = int(deg[i])
         for xi in range(q):
             for y in range(s.nstates(0)):
@@ -286,14 +285,15 @@ def transition_probs(tables: RecursiveFactorTables, in_mask: jax.Array,
     q, Y = tables.q, tables.Y
     i_py0 = jnp.arange(N) % tables.Py0.shape[0]
     i_pxy = jnp.arange(N) % tables.Pxy.shape[0]
+    i_pyy = jnp.arange(N) % tables.Pyy.shape[0]
     i_py = jnp.arange(N) % tables.Py.shape[0]
     v = jnp.take_along_axis(tables.Py0[i_py0], x[:, None, None],
                             axis=2)[..., 0]                      # [N, Y]
     for k in range(K):
         pxy = tables.Pxy[i_pxy, k]                               # [N, Y, q, q]
         pxy = pxy[jnp.arange(N), :, x_nbr[:, k], x]              # [N, Y]
-        pyy = tables.Pyy[min(k, tables.Pyy.shape[0] - 1)]        # [Y, Y, Y, q]
-        pyy = pyy[:, :, :, x].transpose(3, 0, 1, 2)              # [N, Y, Y, Y]
+        pyy = tables.Pyy[i_pyy, min(k, tables.Pyy.shape[1] - 1)]  # [N, Y, Y, Y, q]
+        pyy = pyy[jnp.arange(N), :, :, :, x]                     # [N, Y, Y, Y]
         v2 = jnp.einsum("nyab,na,nb->ny", pyy, v, pxy)
         v = jnp.where(in_mask[:, k][:, None], v2, v)
     Py = tables.Py[i_py, :, x]                                   # [N, q, Y]

@@ -2,9 +2,29 @@
 heterogeneous SIS), equilibrium oracles and inference metrics — the TPU-native
 counterpart of ``/root/reference/src/Models/``."""
 
-from .sis import SIS, SISFactorSpec, sis_tables, mpbp_sis, SUSCEPTIBLE, INFECTIOUS
+from .sis import (SIS, SISFactorSpec, sis_tables, mpbp_sis, SUSCEPTIBLE,
+                  INFECTIOUS)
+from .sirs import SIRS, SIRSFactorSpec, mpbp_sirs, RECOVERED
+from .sis_heterogeneous import (SISHeterogeneous, SISHeterogeneousFactorSpec,
+                                mpbp_sis_heterogeneous)
+from .glauber import (Ising, Glauber, potts2spin, spin2potts, energy,
+                      HomogeneousGlauberFactorSpec, PMJGlauberFactorSpec,
+                      IntegerGlauberFactorSpec, GenericGlauberFactorSpec,
+                      glauber_factor_specs, mpbp_glauber)
+from .equilibrium import (RandomRegular, ErdosRenyi, equilibrium_observables,
+                          equilibrium_magnetization)
+from .inference import find_infected_bp, roc, auc, kl_marginals, l1_marginals
 
 __all__ = [
     "SIS", "SISFactorSpec", "sis_tables", "mpbp_sis",
-    "SUSCEPTIBLE", "INFECTIOUS",
+    "SUSCEPTIBLE", "INFECTIOUS", "RECOVERED",
+    "SIRS", "SIRSFactorSpec", "mpbp_sirs",
+    "SISHeterogeneous", "SISHeterogeneousFactorSpec", "mpbp_sis_heterogeneous",
+    "Ising", "Glauber", "potts2spin", "spin2potts", "energy",
+    "HomogeneousGlauberFactorSpec", "PMJGlauberFactorSpec",
+    "IntegerGlauberFactorSpec", "GenericGlauberFactorSpec",
+    "glauber_factor_specs", "mpbp_glauber",
+    "RandomRegular", "ErdosRenyi", "equilibrium_observables",
+    "equilibrium_magnetization",
+    "find_infected_bp", "roc", "auc", "kl_marginals", "l1_marginals",
 ]

@@ -103,7 +103,7 @@ def sis_tables(graph: Graph, lam: float, rho: float, alpha: float = 0.0,
                         * spec.prob_yy(y, y1, y2, x, 1, 1)
                         for y in range(Y) for y2 in range(Y))
     Pyp = np.broadcast_to(Pyp, (1, K, q, q, q, Y)).copy()
-    Pyy_stack = np.broadcast_to(Pyy, (max(K, 1), Y, Y, Y, q)).copy()
+    Pyy_stack = np.broadcast_to(Pyy[:, None], (1, max(K, 1), Y, Y, Y, q)).copy()
     return RecursiveFactorTables(
         jnp.asarray(Py), jnp.asarray(Pyp), jnp.asarray(Pxy),
         jnp.asarray(Pyy_stack), jnp.asarray(Py0),
