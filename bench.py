@@ -21,19 +21,19 @@ import jax
 import numpy as np
 
 D_BENCH = 10
-N_NODES = 128
-MEAN_DEG = 3.0
+N_NODES = 256
+DEGREE = 3
 T_HORIZON = 15
 SWEEPS = 3
 
 
 def build(dtype):
     import jax.numpy as jnp
-    from matrixproductbp_tpu.graph import erdos_renyi_graph
+    from matrixproductbp_tpu.graph import random_regular_graph
     from matrixproductbp_tpu.models import SIS, mpbp_sis
 
     rng = np.random.default_rng(0)
-    g = erdos_renyi_graph(N_NODES, MEAN_DEG, rng)
+    g = random_regular_graph(N_NODES, DEGREE, rng)
     sis = SIS(g, lam=0.2, rho=0.1, T=T_HORIZON, gamma=0.3)
     return mpbp_sis(sis, D=D_BENCH, dtype=dtype), g
 

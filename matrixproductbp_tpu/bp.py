@@ -36,7 +36,7 @@ from .ops.tensortrain import (
     TensorTrain, compress, normalize, normalize_eachmatrix, marginals,
     twovar_marginals, tt_sum, flat_tt, lognorm,
 )
-from .ops.mpem import mpem3_to_mpem2
+from .ops.mpem import mpem3_to_mpem2, mpem3_to_mpem2_periodic
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
 __all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
@@ -72,15 +72,17 @@ class MPBP:
     f: jax.Array          # [N]
     garrays: GraphArrays
     graph: Graph = dataclasses.field(metadata=dict(static=True))
+    periodic: bool = dataclasses.field(default=False,
+                                       metadata=dict(static=True))
 
     def tree_flatten(self):
         return ((self.tables, self.phi, self.psi, self.msg_cores, self.msg_logz,
                  self.bel_cores, self.bel_logz, self.f, self.garrays),
-                self.graph)
+                (self.graph, self.periodic))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux)
+        return cls(*children, aux[0], aux[1])
 
     # reference getT / getN / nstates (mpbp.jl:35-37)
     @property
@@ -101,9 +103,9 @@ class MPBP:
 
 
 def mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
-         phi=None, psi=None, dtype=jnp.float64) -> MPBP:
+         phi=None, psi=None, dtype=jnp.float64, periodic: bool = False) -> MPBP:
     """Construct a flat-initialised state (reference ``mpbp`` at
-    ``mpbp.jl:60-70``: flat messages/beliefs, unit observations)."""
+    ``mpbp.jl:60-70``; ``periodic_mpbp`` at ``mpbp.jl:399-409``)."""
     N, E, q = graph.N, graph.E, tables.q
     T1 = T + 1
     if phi is None:
@@ -115,9 +117,9 @@ def mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
     else:
         psi = jnp.asarray(psi, dtype)
         _check_psi_symmetry(graph, psi)
-    msg = flat_tt(T1, D, (q, q), dtype)
+    msg = flat_tt(T1, D, (q, q), dtype, periodic=periodic)
     m, _ = normalize(msg)
-    bel = flat_tt(T1, D, (q,), dtype)
+    bel = flat_tt(T1, D, (q,), dtype, periodic=periodic)
     ga = GraphArrays(
         jnp.asarray(graph.in_edges), jnp.asarray(graph.out_edges),
         jnp.asarray(graph.in_mask), jnp.asarray(graph.degree),
@@ -128,7 +130,7 @@ def mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
         jnp.zeros((E,), dtype),
         jnp.broadcast_to(bel.cores, (N,) + bel.cores.shape).copy(),
         jnp.zeros((N,), dtype),
-        jnp.zeros((N,), dtype), ga, graph,
+        jnp.zeros((N,), dtype), ga, graph, periodic,
     )
 
 
@@ -145,7 +147,8 @@ def _check_psi_symmetry(graph: Graph, psi):
 # the sweep
 # ---------------------------------------------------------------------------
 
-def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int):
+def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int,
+           periodic: bool = False):
     """op: combine two cavity trains (phys (Y, q)) — Hadamard on x_i,
     ``prob_yy`` contraction on y, Kronecker on bonds, then truncate.
 
@@ -159,7 +162,7 @@ def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int):
     tmp = jnp.einsum("yabx,tmnax->tmnybx", pyy, L)       # [T1,DL,DL,Y,Y,q]
     M = jnp.einsum("tmnybx,tuvbx->tmunvyx", tmp, R)      # [T1,DL,DR,DL,DR,Y,q]
     cores = M.reshape(T1, DL * DR, DL * DR, Y * q)
-    tt = TensorTrain(cores, Llz + Rlz, (Y, q))
+    tt = TensorTrain(cores, Llz + Rlz, (Y, q), periodic)
     tt = compress(tt, trunc, Dout=Dout)
     tt = normalize_eachmatrix(tt)
     return tt.cores, tt.logz
@@ -186,19 +189,23 @@ def _embed_second(Bc, Blz, pyy1, py0):
     return out.reshape(T1, Dm, Dm, Y * q), Blz
 
 
-def _f_bp_partial(Cc, Clz, Wtab, phi, qj: int):
+def _f_bp_partial(Cc, Clz, Wtab, phi, qj: int, periodic: bool = False):
     """Contract a cavity train with the (pre-built) transition table and the
     node reweighting into an MPEM3 stack (``_f_bp_partial``,
-    ``recursive_bp_factor.jl:73-87``).
+    ``recursive_bp_factor.jl:73-87``; periodic variant ``:89-101`` applies the
+    transition at every time step).
 
     Cc: [T1, Dc, Dc, Y*q];  Wtab: [q(xp), q(xi), qj, Y]  ->
     B3: [T1, Dc, Dc, q, qj, q(xp)].
-    Last time step: no transition factor, uniform over (xj, xp).
+    Open trains: the last step has no transition factor (uniform in xj, xp).
     """
     T1, Dc = Cc.shape[0], Cc.shape[1]
     q = Wtab.shape[0]
     Y = Wtab.shape[3]
     C = Cc.reshape(T1, Dc, Dc, Y, q)
+    if periodic:
+        B3 = jnp.einsum("pijy,tmnyi,ti->tmnijp", Wtab, C, phi)
+        return B3, Clz
     main = jnp.einsum("pijy,tmnyi,ti->tmnijp", Wtab, C[:-1], phi[:-1])
     lastC = jnp.einsum("mnyi,i->mni", C[-1], phi[-1])    # sum over y
     last = jnp.broadcast_to(lastC[:, :, :, None, None],
@@ -210,7 +217,7 @@ def _f_bp_partial(Cc, Clz, Wtab, phi, qj: int):
 def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
                  psi_out, mask, Py_i, Pyp_i, Pxy_i, Py0_i, phi_i, deg_i,
                  pyy_stack, trunc: SVDTrunc, trunc_cav: SVDTrunc, Dm: int,
-                 Dc: int, damp: float):
+                 Dc: int, damp: float, periodic: bool = False):
     """Update all outgoing messages + the belief of one node.
 
     Mirrors ``onebpiter!`` for RecursiveBPFactor
@@ -241,71 +248,107 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     def pyy_at(d1):
         return pyy[min(d1, nYY - 1)]
 
-    # ---- prefix folds L_k = fold(B_0..B_{k-1}), k = 1..K ------------------
-    Ls = [None] * (K + 1)
-    Ls[1] = _embed_first(B[0], Blz[0], pyy_at(0), Py0_i)
-    for k in range(1, K):
-        Lc, Llz = Ls[k]
-        Ls[k + 1] = _merge(Lc, Llz, B[k], Blz[k], pyy_at(k), trunc_cav,
-                           Dc, Y, q)
+    def pad_dc(c):
+        """Embed a Dm-bond train into the Dc-bond capacity (zero-pad: exact)."""
+        from .ops.tensortrain import _fit_axis
+        return _fit_axis(_fit_axis(c, 1, Dc), 2, Dc)
 
-    # ---- suffix folds R_k = fold(B_k..B_{K-1}), k = K-1..1 ----------------
-    Rs = [None] * (K + 1)
+    # ---- prefix folds L_k = fold(B_0..B_{k-1}) (lax.scan over slots) ------
+    L1c, L1lz = _embed_first(B[0], Blz[0], pyy_at(0), Py0_i)
+    L1c = pad_dc(L1c)
+
+    def pstep(carry, xs):
+        Lc, Llz = carry
+        Bk, Bklz, pyy_k = xs
+        out = _merge(Lc, Llz, Bk, Bklz, pyy_k, trunc_cav, Dc, Y, q, periodic)
+        return out, out
+
     if K > 1:
-        Rs[K - 1] = _embed_second(B[K - 1], Blz[K - 1], pyy_at(1), Py0_i)
-        for k in range(K - 2, 0, -1):
-            Rc, Rlz = Rs[k + 1]
-            Rs[k] = _merge(B[k], Blz[k], Rc, Rlz, pyy_at(1), trunc_cav, Dc, Y, q)
+        pyy_pref = jnp.stack([pyy_at(k) for k in range(1, K)])
+        (full_c, full_lz), (Lst_c, Lst_lz) = jax.lax.scan(
+            pstep, (L1c, L1lz), (B[1:], Blz[1:], pyy_pref))
+        # Lst[j] = L_{j+2}
+    else:
+        full_c, full_lz = L1c, L1lz
 
-    # ---- cavity C_k = op(L_k, R_{k+1}) ------------------------------------
-    Cs = [None] * K
+    # ---- suffix folds R_k = fold(B_k..B_{K-1}) (reverse scan) -------------
+    if K > 1:
+        RKm1c, RKm1lz = _embed_second(B[K - 1], Blz[K - 1], pyy_at(1), Py0_i)
+        RKm1c = pad_dc(RKm1c)
+
+        def sstep(carry, xs):
+            Rc, Rlz = carry
+            Bk, Bklz = xs
+            out = _merge(Bk, Bklz, Rc, Rlz, pyy_at(1), trunc_cav, Dc, Y, q,
+                         periodic)
+            return out, out
+
+        (_, _), (Rst_c, Rst_lz) = jax.lax.scan(
+            sstep, (RKm1c, RKm1lz), (B[1:K - 1], Blz[1:K - 1]), reverse=True)
+        # Rst[j] = R_{j+1} for j = 0..K-3 (i.e. R_1..R_{K-2})
+
+    # ---- cavity C_k = op(L_k, R_{k+1}), vmapped over interior slots -------
     if K == 1:
         # all-but-one of a single slot = the bare init element
-        Cs[0] = (ident.reshape(T1, Dm, Dm, Y * q), jnp.zeros((), dtype))
+        Cs_c = pad_dc(ident.reshape(T1, Dm, Dm, Y * q))[None]
+        Cs_lz = jnp.zeros((1,), dtype)
+    elif K == 2:
+        Cs_c = jnp.stack([RKm1c, L1c])
+        Cs_lz = jnp.stack([RKm1lz, L1lz])
     else:
-        Cs[0] = Rs[1]
-        Cs[K - 1] = Ls[K - 1]
-        for k in range(1, K - 1):
-            Lc, Llz = Ls[k]
-            Rc, Rlz = Rs[k + 1]
-            Cs[k] = _merge(Lc, Llz, Rc, Rlz, pyy_at(k), trunc_cav, Dc, Y, q)
-    full_c, full_lz = Ls[K]
+        # L_k for k = 1..K-2 paired with R_{k+1} for k = 1..K-2
+        Lcav_c = jnp.concatenate([L1c[None], Lst_c[:K - 3]], axis=0)
+        Lcav_lz = jnp.concatenate([L1lz[None], Lst_lz[:K - 3]], axis=0)
+        Rcav_c = jnp.concatenate([Rst_c[1:], RKm1c[None]], axis=0)
+        Rcav_lz = jnp.concatenate([Rst_lz[1:], RKm1lz[None]], axis=0)
+        pyy_cav = jnp.stack([pyy_at(k) for k in range(1, K - 1)])
+        Cmid_c, Cmid_lz = jax.vmap(
+            lambda lc, llz, rc, rlz, pk: _merge(
+                lc, llz, rc, rlz, pk, trunc_cav, Dc, Y, q, periodic)
+        )(Lcav_c, Lcav_lz, Rcav_c, Rcav_lz, pyy_cav)
+        Cs_c = jnp.concatenate(
+            [Rst_c[0][None], Cmid_c, Lst_c[K - 3][None]], axis=0)
+        Cs_lz = jnp.concatenate(
+            [Rst_lz[0][None], Cmid_lz, Lst_lz[K - 3][None]], axis=0)
 
     # ---- outgoing messages (f_bp_partial_ij -> mpem2 -> compress ->
-    #      normalize -> damping), recursive_bp_factor.jl:154-158,168-179 ----
-    out_cores, out_lz, sum_logz = [], [], jnp.zeros((), dtype)
-    for k in range(K):
-        Cc, Clz = Cs[k]
-        B3, B3lz = _f_bp_partial(Cc, Clz, Pyp_i[k], phi_i, q)
-        mu = mpem3_to_mpem2(B3, B3lz)
+    #      normalize -> damping), vmapped over slots
+    #      (recursive_bp_factor.jl:154-158, 168-179) ------------------------
+    def one_out(Cc, Clz, Pyp_k, old_c, old_lz):
+        B3, B3lz = _f_bp_partial(Cc, Clz, Pyp_k, phi_i, q, periodic)
+        mu = (mpem3_to_mpem2_periodic(B3, B3lz) if periodic
+              else mpem3_to_mpem2(B3, B3lz))
         mu = compress(mu, trunc, Dout=Dm, assume="left")
         mu = normalize_eachmatrix(mu)
         mu, logz_k = normalize(mu)
         if damp > 0.0:
-            old = TensorTrain(msgs_out_old_c[k], msgs_out_old_lz[k], (q, q))
+            old = TensorTrain(old_c, old_lz, (q, q), periodic)
             mixed = tt_sum(mu, old, damp / (1.0 - damp))
             mixed = compress(mixed, trunc, Dout=Dm)
             mixed, _ = normalize(mixed)
             mu = mixed
-        out_cores.append(mu.cores)
-        out_lz.append(mu.logz)
-        sum_logz = sum_logz + jnp.where(mask[k], logz_k, 0.0)
+        return mu.cores, mu.logz, logz_k
+
+    out_cores, out_lz, logz_ks = jax.vmap(one_out)(
+        Cs_c, Cs_lz, Pyp_i, msgs_out_old_c, msgs_out_old_lz)
+    sum_logz = jnp.sum(jnp.where(mask, logz_ks, 0.0))
 
     # ---- belief: f_bp_partial_i on the full fold --------------------------
     Wb = Py_i[:, :, None, :]                             # [q, q, 1, Y]
-    B3b, B3blz = _f_bp_partial(full_c, full_lz, Wb, phi_i, 1)
-    bel2 = mpem3_to_mpem2(B3b.reshape(T1, B3b.shape[1], B3b.shape[2], q, 1, q),
-                          B3blz)
+    B3b, B3blz = _f_bp_partial(full_c, full_lz, Wb, phi_i, 1, periodic)
+    B3b = B3b.reshape(T1, B3b.shape[1], B3b.shape[2], q, 1, q)
+    bel2 = (mpem3_to_mpem2_periodic(B3b, B3blz) if periodic
+            else mpem3_to_mpem2(B3b, B3blz))
     bel2 = compress(bel2, trunc, Dout=Dm, assume="left")
     # marginalize MPEM2 -> MPEM1 (sum the dummy x_j leg, mpems.jl:27)
     bel1 = TensorTrain(
-        bel2.cores.reshape(T1, Dm, Dm, q, 1).sum(axis=4), bel2.logz, (q,))
+        bel2.cores.reshape(T1, Dm, Dm, q, 1).sum(axis=4), bel2.logz, (q,),
+        periodic)
     bel1, logz_i = normalize(bel1)
 
     d_i = deg_i.astype(dtype)
     f_i = (d_i / 2.0 - 1.0) * logz_i - 0.5 * sum_logz
-    return (jnp.stack(out_cores), jnp.stack(out_lz),
-            bel1.cores, bel1.logz, f_i)
+    return out_cores, out_lz, bel1.cores, bel1.logz, f_i
 
 
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp"))
@@ -334,7 +377,7 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
                 pyy):
         return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy,
                             py0, ph, dg, pyy, trunc, trunc_cav,
-                            Dm, Dcav, damp)
+                            Dm, Dcav, damp, bp.periodic)
 
     tb = bp.tables
 
@@ -398,14 +441,16 @@ def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
 
 def beliefs(bp: MPBP) -> jax.Array:
     """Single-site time marginals [N, T1, q] (reference ``beliefs``)."""
-    return jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (bp.q,))))(
+    return jax.vmap(
+        lambda c, z: marginals(TensorTrain(c, z, (bp.q,), bp.periodic)))(
         bp.bel_cores, bp.bel_logz)
 
 
 def beliefs_tu(bp: MPBP, maxdist: int | None = None) -> jax.Array:
     """Two-time marginals [N, T1, T1, q, q] (reference ``beliefs_tu``)."""
     return jax.vmap(
-        lambda c, z: twovar_marginals(TensorTrain(c, z, (bp.q,)), maxdist)
+        lambda c, z: twovar_marginals(TensorTrain(c, z, (bp.q,), bp.periodic),
+                                      maxdist)
     )(bp.bel_cores, bp.bel_logz)
 
 
@@ -452,7 +497,7 @@ def pair_beliefs(bp: MPBP):
         M = jnp.einsum("tabij,tcdji,tij->tacbdij", A, Bt, psi_e)
         T1 = M.shape[0]
         cores = M.reshape(T1, bp.D * bp.D, bp.D * bp.D, q * q)
-        tt = TensorTrain(cores, zij + zji, (q, q))
+        tt = TensorTrain(cores, zij + zji, (q, q), bp.periodic)
         lg, _ = lognorm(tt)
         marg = marginals(tt).reshape(T1, q, q)
         return marg, lg
@@ -484,7 +529,7 @@ def alternate_marginals(bp: MPBP) -> jax.Array:
         Bt = cji.reshape(T1, bp.D, bp.D, q, q)
         M = jnp.einsum("tabij,tcdji,tij->tacbdij", A, Bt, psi_e)
         cores = M.reshape(T1, bp.D * bp.D, bp.D * bp.D, q * q)
-        tt = TensorTrain(cores, zij + zji, (q, q))
+        tt = TensorTrain(cores, zij + zji, (q, q), bp.periodic)
         tv = twovar_marginals(tt, maxdist=1)  # [T1, T1, q*q, q*q]
         tv = tv.reshape(T1, T1, q, q, q, q)
         # p(x_i^t, x_j^{t+1}) = sum_{x_j^t, x_i^{t+1}} b(t, t+1)
@@ -534,13 +579,15 @@ def logprob(bp: MPBP, x: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 def reset_messages(bp: MPBP) -> MPBP:
-    fresh = mpbp(bp.graph, bp.tables, bp.T, bp.D, dtype=bp.phi.dtype)
+    fresh = mpbp(bp.graph, bp.tables, bp.T, bp.D, dtype=bp.phi.dtype,
+                 periodic=bp.periodic)
     return dataclasses.replace(bp, msg_cores=fresh.msg_cores,
                                msg_logz=fresh.msg_logz)
 
 
 def reset_beliefs(bp: MPBP) -> MPBP:
-    fresh = mpbp(bp.graph, bp.tables, bp.T, bp.D, dtype=bp.phi.dtype)
+    fresh = mpbp(bp.graph, bp.tables, bp.T, bp.D, dtype=bp.phi.dtype,
+                 periodic=bp.periodic)
     return dataclasses.replace(bp, bel_cores=fresh.bel_cores,
                                bel_logz=fresh.bel_logz)
 

@@ -62,6 +62,15 @@ def exact_prob(bp: MPBP):
         logp += np.log(
             p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, t + 1]]
         ).sum(axis=1)
+    if bp.periodic:
+        # time-periodic wrap: transition from t = T back to t = 0
+        # (reference exact.jl:24-26)
+        xt = X[:, :, T1 - 1]
+        xn = xt[:, nbr]
+        p = np.asarray(pfun(jnp.asarray(xn), jnp.asarray(xt)))
+        logp += np.log(
+            p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, 0]]
+        ).sum(axis=1)
 
     src, dst = g.edge_src, g.edge_dst
     for t in range(T1):

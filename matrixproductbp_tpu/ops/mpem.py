@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from .tensortrain import TensorTrain, _safe_scale, _fit_axis
 
-__all__ = ["mpem3_to_mpem2", "evaluate_mpem3"]
+__all__ = ["mpem3_to_mpem2", "mpem3_to_mpem2_periodic", "evaluate_mpem3",
+           "evaluate_mpem3_periodic"]
 
 
 def mpem3_to_mpem2(B: jax.Array, logz: jax.Array) -> TensorTrain:
@@ -80,6 +81,43 @@ def mpem3_to_mpem2(B: jax.Array, logz: jax.Array) -> TensorTrain:
     return TensorTrain(cores, lg, (qi, qj))
 
 
+def mpem3_to_mpem2_periodic(B: jax.Array, logz: jax.Array) -> TensorTrain:
+    """Periodic variant (``mpem2(::PeriodicMPEM3)``, ``mpems.jl:124-155``):
+    the sweep runs over *all* T1 cores and the final (lambda * Vt) carry folds
+    into core 0, diagonal in its x_i leg."""
+    T1, Db, _, qi, qj, _ = B.shape
+    Dmid = qi * Db
+    dtype = B.dtype
+
+    def svd_step(M, lg):
+        m = _safe_scale(jnp.max(jnp.abs(M)))
+        M = M / m
+        lg = lg - jnp.log(m)
+        U, S, Vt = jnp.linalg.svd(M, full_matrices=False)
+        return U, S, Vt, lg
+
+    M0 = B[0].transpose(2, 3, 0, 1, 4).reshape(qi * qj * Db, Db * qi)
+    U, S, Vt, lg = svd_step(M0, logz)
+    C0 = U.reshape(qi, qj, Db, Dmid).transpose(2, 3, 0, 1)   # [Db, Dmid, qi, qj]
+    carry0 = (S[:, None] * Vt).reshape(Dmid, Db, qi)
+
+    def step(carry, Bt):
+        C, lg = carry
+        A = jnp.einsum("kli,lnijr->knijr", C, Bt)
+        M = A.transpose(2, 3, 0, 1, 4).reshape(qi * qj * Dmid, Db * qi)
+        U, S, Vt, lg = svd_step(M, lg)
+        Ct = U.reshape(qi, qj, Dmid, Dmid).transpose(2, 3, 0, 1) \
+              .reshape(Dmid, Dmid, qi * qj)
+        Cnew = (S[:, None] * Vt).reshape(Dmid, Db, qi)
+        return (Cnew, lg), Ct
+
+    (C, lg), mids = jax.lax.scan(step, (carry0, lg), B[1:])
+    # wrap: C0'[m, n, xi, xj] = sum_l C[m, l, xi] C0[l, n, xi, xj]
+    C0w = jnp.einsum("mli,lnij->mnij", C, C0).reshape(Dmid, Dmid, qi * qj)
+    cores = jnp.concatenate([C0w[None], mids], axis=0)
+    return TensorTrain(cores, lg, (qi, qj), True)
+
+
 def evaluate_mpem3(B: jax.Array, logz: jax.Array, xi: jax.Array,
                    xj: jax.Array) -> jax.Array:
     """Reference ``evaluate(::MPEM3)`` (``mpems.jl:56-64``): product of
@@ -90,3 +128,15 @@ def evaluate_mpem3(B: jax.Array, logz: jax.Array, xi: jax.Array,
     for t in range(T1):
         v = v @ B[t][:, :, xi[t], xj[t], xnext[t]]
     return v[0] * jnp.exp(-logz)
+
+
+def evaluate_mpem3_periodic(B: jax.Array, logz: jax.Array, xi: jax.Array,
+                            xj: jax.Array) -> jax.Array:
+    """Periodic evaluate: xi' wraps to xi[0] and the product closes with a
+    trace (``mpems.jl:113-122``)."""
+    T1 = B.shape[0]
+    xnext = jnp.concatenate([xi[1:], xi[:1]])
+    M = jnp.eye(B.shape[1], dtype=B.dtype)
+    for t in range(T1):
+        M = M @ B[t][:, :, xi[t], xj[t], xnext[t]]
+    return jnp.trace(M) * jnp.exp(-logz)

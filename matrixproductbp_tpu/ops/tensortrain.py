@@ -72,14 +72,15 @@ class TensorTrain:
     cores: jax.Array
     logz: jax.Array
     phys: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    periodic: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def tree_flatten(self):
-        return (self.cores, self.logz), self.phys
+        return (self.cores, self.logz), (self.phys, self.periodic)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         cores, logz = children
-        return cls(cores, logz, aux)
+        return cls(cores, logz, aux[0], aux[1])
 
     # -- conveniences ------------------------------------------------------
     @property
@@ -103,7 +104,8 @@ def _flat_phys(phys: Sequence[int]) -> int:
     return int(math.prod(phys)) if phys else 1
 
 
-def flat_tt(T1: int, D: int, phys: Sequence[int], dtype=jnp.float64) -> TensorTrain:
+def flat_tt(T1: int, D: int, phys: Sequence[int], dtype=jnp.float64,
+            periodic: bool = False) -> TensorTrain:
     """Uniform train of value 1 for every configuration (bond dim 1).
 
     Mirrors ``flat_tt`` / ``flat_mpem1/2`` (``src/mpems.jl:6,20``): entries all
@@ -112,20 +114,22 @@ def flat_tt(T1: int, D: int, phys: Sequence[int], dtype=jnp.float64) -> TensorTr
     P = _flat_phys(phys)
     cores = jnp.zeros((T1, D, D, P), dtype=dtype)
     cores = cores.at[:, 0, 0, :].set(1.0)
-    return TensorTrain(cores, jnp.zeros((), dtype=dtype), tuple(phys))
+    return TensorTrain(cores, jnp.zeros((), dtype=dtype), tuple(phys), periodic)
 
 
 def rand_tt(key, T1: int, D: int, phys: Sequence[int], bond: int | None = None,
-            dtype=jnp.float64) -> TensorTrain:
+            dtype=jnp.float64, periodic: bool = False) -> TensorTrain:
     """Random positive train with effective bond ``bond`` (default ``D``)."""
     P = _flat_phys(phys)
     bond = D if bond is None else bond
     vals = jax.random.uniform(key, (T1, D, D, P), dtype=dtype)
     mask = jnp.zeros((T1, D, D, 1), dtype=dtype)
     mask = mask.at[:, :bond, :bond].set(1.0)
-    mask = mask.at[0, 1:, :].set(0.0)   # first core: row 0 only
-    mask = mask.at[-1, :, 1:].set(0.0)  # last core: col 0 only
-    return TensorTrain(vals * mask, jnp.zeros((), dtype=dtype), tuple(phys))
+    if not periodic:
+        mask = mask.at[0, 1:, :].set(0.0)   # first core: row 0 only
+        mask = mask.at[-1, :, 1:].set(0.0)  # last core: col 0 only
+    return TensorTrain(vals * mask, jnp.zeros((), dtype=dtype), tuple(phys),
+                       periodic)
 
 
 # ---------------------------------------------------------------------------
@@ -135,11 +139,19 @@ def rand_tt(key, T1: int, D: int, phys: Sequence[int], bond: int | None = None,
 def evaluate(tt: TensorTrain, x: jax.Array) -> jax.Array:
     """Value at configuration ``x`` (ints indexing the flattened phys axis).
 
-    Mirrors ``TensorTrains.evaluate`` (used at ``src/mpems.jl:56-64``).
+    Mirrors ``TensorTrains.evaluate`` (used at ``src/mpems.jl:56-64``);
+    periodic trains close with a trace (``mpems.jl:113-122``).
     """
     sel = jnp.take_along_axis(
         tt.cores, x.reshape(-1, 1, 1, 1).astype(jnp.int32), axis=3
     )[..., 0]  # [T1, D, D]
+
+    if tt.periodic:
+        def mstep(M, A):
+            return M @ A, None
+
+        M, _ = jax.lax.scan(mstep, jnp.eye(tt.D, dtype=tt.dtype), sel)
+        return jnp.trace(M) * jnp.exp(-tt.logz)
 
     def step(v, M):
         return v @ M, None
@@ -183,11 +195,39 @@ def _accumulate(tt: TensorTrain, reverse: bool):
     return envs, logs
 
 
+def _accumulate_mats(tt: TensorTrain, reverse: bool):
+    """Matrix environment sweep for periodic (trace-closed) trains:
+    envs[t] = rescaled product of transfers 0..t-1 (or T1-1..t reversed)."""
+    transfer = tt.cores.sum(axis=3)
+
+    def step(carry, M):
+        E, lg = carry
+        E2 = M @ E if reverse else E @ M
+        m = _safe_scale(jnp.max(jnp.abs(E2)))
+        E2 = E2 / m
+        return (E2, lg + jnp.log(m)), (E2, lg + jnp.log(m))
+
+    I = jnp.eye(tt.D, dtype=tt.dtype)
+    init = (I, jnp.zeros((), tt.dtype))
+    _, (Es, lgs) = jax.lax.scan(step, init, transfer, reverse=reverse)
+    if reverse:
+        envs = jnp.concatenate([Es, I[None]], axis=0)
+        logs = jnp.concatenate([lgs, jnp.zeros((1,), tt.dtype)], axis=0)
+    else:
+        envs = jnp.concatenate([I[None], Es], axis=0)
+        logs = jnp.concatenate([jnp.zeros((1,), tt.dtype), lgs], axis=0)
+    return envs, logs
+
+
 def lognorm(tt: TensorTrain):
     """(log |Z|, sign) of the total sum Z = sum_x p(x).
 
     ``real(log(normalization(A)))`` of the reference (``mpbp.jl:135``).
     """
+    if tt.periodic:
+        envs, logs = _accumulate_mats(tt, reverse=False)
+        z = jnp.trace(envs[-1])
+        return jnp.log(jnp.abs(z)) + logs[-1] - tt.logz, jnp.sign(z)
     envs, logs = _accumulate(tt, reverse=False)
     z = envs[-1][0]
     return jnp.log(jnp.abs(z)) + logs[-1] - tt.logz, jnp.sign(z)
@@ -210,7 +250,7 @@ def normalize(tt: TensorTrain):
     scale = jnp.exp(-(lg + tt.logz) / T1)
     cores = tt.cores * scale
     cores = cores.at[0].multiply(sg)
-    return TensorTrain(cores, jnp.zeros((), tt.dtype), tt.phys), lg
+    return TensorTrain(cores, jnp.zeros((), tt.dtype), tt.phys, tt.periodic), lg
 
 
 def normalize_eachmatrix(tt: TensorTrain) -> TensorTrain:
@@ -218,7 +258,8 @@ def normalize_eachmatrix(tt: TensorTrain) -> TensorTrain:
     represented tensor is unchanged (``normalize_eachmatrix!``)."""
     m = _safe_scale(jnp.max(jnp.abs(tt.cores), axis=(1, 2, 3)))  # [T1]
     cores = tt.cores / m[:, None, None, None]
-    return TensorTrain(cores, tt.logz - jnp.sum(jnp.log(m)), tt.phys)
+    return TensorTrain(cores, tt.logz - jnp.sum(jnp.log(m)), tt.phys,
+                       tt.periodic)
 
 
 # ---------------------------------------------------------------------------
@@ -230,10 +271,16 @@ def marginals(tt: TensorTrain) -> jax.Array:
 
     Mirrors ``TensorTrains.marginals`` (``mpbp.jl:237``).
     """
-    L, _ = _accumulate(tt, reverse=False)
-    R, _ = _accumulate(tt, reverse=True)
-    # p_t[x] ∝ L[t] · cores[t][:, :, x] · R[t+1]
-    p = jnp.einsum("tm,tmnp,tn->tp", L[:-1], tt.cores, R[1:])
+    if tt.periodic:
+        Pm, _ = _accumulate_mats(tt, reverse=False)
+        Sm, _ = _accumulate_mats(tt, reverse=True)
+        # p_t[x] ∝ tr(P_t · cores[t][:, :, x] · S_{t+1})
+        p = jnp.einsum("tam,tmnp,tna->tp", Pm[:-1], tt.cores, Sm[1:])
+    else:
+        L, _ = _accumulate(tt, reverse=False)
+        R, _ = _accumulate(tt, reverse=True)
+        # p_t[x] ∝ L[t] · cores[t][:, :, x] · R[t+1]
+        p = jnp.einsum("tm,tmnp,tn->tp", L[:-1], tt.cores, R[1:])
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
@@ -244,24 +291,41 @@ def twovar_marginals(tt: TensorTrain, maxdist: int | None = None) -> jax.Array:
     """
     T1, D, P = tt.T1, tt.D, tt.P
     maxdist = T1 if maxdist is None else maxdist
-    L, _ = _accumulate(tt, reverse=False)
-    R, _ = _accumulate(tt, reverse=True)
     transfer = tt.cores.sum(axis=3)
+    if tt.periodic:
+        Lm, _ = _accumulate_mats(tt, reverse=False)
+        Sm, _ = _accumulate_mats(tt, reverse=True)
+    else:
+        L, _ = _accumulate(tt, reverse=False)
+        R, _ = _accumulate(tt, reverse=True)
 
     out = jnp.zeros((T1, T1, P, P), tt.dtype)
     for t in range(T1 - 1):
-        # E[x, n] = L[t] · cores[t][:, :, x]   (then propagate over u)
-        E0 = jnp.einsum("m,mnp->pn", L[t], tt.cores[t])
+        if tt.periodic:
+            # E[x, a, n] = (P_t · cores[t][:, :, x])[a, n], closed by S_u·tr
+            E0 = jnp.einsum("am,mnp->pan", Lm[t], tt.cores[t])
 
-        def step(E, inp):
-            core_u, R_u1, M_u = inp
-            p = jnp.einsum("pm,mnq,n->pq", E, core_u, R_u1)
-            return E @ M_u, p
+            def step(E, inp):
+                core_u, S_u1, M_u = inp
+                p = jnp.einsum("pam,mnq,na->pq", E, core_u, S_u1)
+                return jnp.einsum("pam,mn->pan", E, M_u), p
 
+            _, ps = jax.lax.scan(
+                step, E0, (tt.cores[t + 1:], Sm[t + 2:], transfer[t + 1:])
+            )
+        else:
+            # E[x, n] = L[t] · cores[t][:, :, x]   (then propagate over u)
+            E0 = jnp.einsum("m,mnp->pn", L[t], tt.cores[t])
+
+            def step(E, inp):
+                core_u, R_u1, M_u = inp
+                p = jnp.einsum("pm,mnq,n->pq", E, core_u, R_u1)
+                return E @ M_u, p
+
+            _, ps = jax.lax.scan(
+                step, E0, (tt.cores[t + 1:], R[t + 2:], transfer[t + 1:])
+            )
         us = jnp.arange(t + 1, T1)
-        _, ps = jax.lax.scan(
-            step, E0, (tt.cores[t + 1:], R[t + 2:], transfer[t + 1:])
-        )
         # normalize each (t,u) pair and mask beyond maxdist
         s = jnp.sum(ps, axis=(1, 2), keepdims=True)
         ps = ps / jnp.where(s != 0, s, 1.0)
@@ -290,7 +354,9 @@ def _fit_axis(a: jax.Array, axis: int, size: int) -> jax.Array:
 
 
 def orthogonalize_left(tt: TensorTrain) -> TensorTrain:
-    """Left-canonical gauge via a left-to-right QR sweep (value-preserving)."""
+    """Left-canonical gauge via a left-to-right QR sweep (value-preserving).
+    Open trains only (periodic trains have no exact canonical form)."""
+    assert not tt.periodic
     T1, D, P = tt.T1, tt.D, tt.P
 
     def step(carry, core):
@@ -311,6 +377,7 @@ def orthogonalize_left(tt: TensorTrain) -> TensorTrain:
 
 def orthogonalize_right(tt: TensorTrain) -> TensorTrain:
     """Right-canonical gauge via a right-to-left LQ sweep (value-preserving)."""
+    assert not tt.periodic
     T1, D, P = tt.T1, tt.D, tt.P
 
     def step(carry, core):
@@ -384,6 +451,46 @@ def _sweep_truncate_lr(cores: jax.Array, logz: jax.Array, trunc: SVDTrunc,
     return out, lg
 
 
+def _sweep_truncate_periodic(cores: jax.Array, logz: jax.Array,
+                             trunc: SVDTrunc, Dout: int):
+    """Left-to-right truncating SVD sweep with wrap-around for periodic trains.
+
+    Every internal bond *and* the closing bond (T1-1 -> 0) are truncated by a
+    local SVD; the final carry folds into core 0, mirroring the wrap step of
+    the reference periodic sweep (``mpems.jl:143-152``).  Periodic trains have
+    no exact canonical gauge, so truncation is local (quasi-optimal), like the
+    reference's.
+    """
+    T1, Din, _, P = cores.shape
+
+    def svd_trunc_step(prv, lg):
+        m_left = prv.shape[0]
+        M = prv.transpose(0, 2, 1).reshape(m_left * P, Din)
+        s = _safe_scale(jnp.max(jnp.abs(M)))
+        M = M / s
+        lg = lg - jnp.log(s)
+        U, S, Vt = jnp.linalg.svd(M, full_matrices=False)
+        S = S * trunc.keep_mask(S).astype(S.dtype)
+        k = S.shape[0]
+        new_core = _fit_axis(U.reshape(m_left, P, k).transpose(0, 2, 1), 1, Dout)
+        C = _fit_axis(S[:, None] * Vt, 0, Dout)   # [Dout, Din]
+        return new_core, C, lg
+
+    core0, C, lg = svd_trunc_step(cores[0], logz)   # core0: [Din, Dout, P]
+
+    def step(carry, core):
+        C, lg = carry
+        absorbed = jnp.einsum("km,mnp->knp", C, core)  # [Dout, Din, P]
+        new_core, C2, lg = svd_trunc_step(absorbed, lg)
+        return (C2, lg), new_core
+
+    (C, lg), rest = jax.lax.scan(step, (C, lg), cores[1:])
+    # wrap: fold the closing carry into core 0's left bond
+    core0 = jnp.einsum("km,mnp->knp", C, core0)       # [Dout, Dout, P]
+    out = jnp.concatenate([core0[None], rest], axis=0)
+    return out, lg
+
+
 def compress(tt: TensorTrain, trunc: SVDTrunc | None = None,
              Dout: int | None = None, assume: str | None = None) -> TensorTrain:
     """Truncated-SVD compression to bond capacity ``Dout``.
@@ -394,6 +501,9 @@ def compress(tt: TensorTrain, trunc: SVDTrunc | None = None,
     """
     trunc = TruncThresh(0.0) if trunc is None else trunc
     Dout = tt.D if Dout is None else Dout
+    if tt.periodic:
+        cores, lg = _sweep_truncate_periodic(tt.cores, tt.logz, trunc, Dout)
+        return TensorTrain(cores, lg, tt.phys, True)
     if assume == "left":
         cores, lg = _sweep_truncate_rl(tt.cores, tt.logz, trunc, Dout)
     elif assume == "right":
@@ -416,6 +526,7 @@ def tt_sum(a: TensorTrain, b: TensorTrain, wb) -> TensorTrain:
     """
     T1, Da, P = a.T1, a.D, a.P
     Db = b.D
+    assert a.periodic == b.periodic
     # put both trains on a's log-scale; fold weight & scale into b's first core
     scale = wb * jnp.exp(a.logz - b.logz)
     bc = b.cores.at[0].multiply(scale)
@@ -423,20 +534,32 @@ def tt_sum(a: TensorTrain, b: TensorTrain, wb) -> TensorTrain:
     cores = jnp.zeros((T1, D, D, P), a.dtype)
     cores = cores.at[:, :Da, :Da].set(a.cores)
     cores = cores.at[:, Da:, Da:].set(bc)
-    # boundary: both trains enter/exit through row/col 0
-    first = jnp.zeros((D, D, P), a.dtype)
-    first = first.at[0, :Da].set(a.cores[0][0])
-    first = first.at[0, Da:].set(bc[0][0])
-    cores = cores.at[0].set(first)
-    last = jnp.zeros((D, D, P), a.dtype)
-    last = last.at[:Da, 0].set(a.cores[-1][:, 0])
-    last = last.at[Da:, 0].set(bc[-1][:, 0])
-    cores = cores.at[-1].set(last)
-    return TensorTrain(cores, a.logz, a.phys)
+    if not a.periodic:
+        # boundary: both trains enter/exit through row/col 0
+        first = jnp.zeros((D, D, P), a.dtype)
+        first = first.at[0, :Da].set(a.cores[0][0])
+        first = first.at[0, Da:].set(bc[0][0])
+        cores = cores.at[0].set(first)
+        last = jnp.zeros((D, D, P), a.dtype)
+        last = last.at[:Da, 0].set(a.cores[-1][:, 0])
+        last = last.at[Da:, 0].set(bc[-1][:, 0])
+        cores = cores.at[-1].set(last)
+    # periodic: plain block-diagonal everywhere; tr(blkdiag) = tr A + tr B
+    return TensorTrain(cores, a.logz, a.phys, a.periodic)
 
 
 def tt_dot(a: TensorTrain, b: TensorTrain) -> jax.Array:
     """Inner product sum_x a(x) b(x) (reference ``dot`` for overlaps)."""
+    if a.periodic:
+        def pstep(E, cores):
+            ca, cb = cores
+            E2 = jnp.einsum("abcd,cep,dfp->abef", E, ca, cb)
+            return E2, None
+
+        E0 = jnp.einsum("ac,bd->abcd", jnp.eye(a.D, dtype=a.dtype),
+                        jnp.eye(b.D, dtype=a.dtype))
+        E, _ = jax.lax.scan(pstep, E0, (a.cores, b.cores))
+        return jnp.einsum("abab->", E) * jnp.exp(-a.logz - b.logz)
 
     def step(E, cores):
         ca, cb = cores

@@ -1,0 +1,84 @@
+"""Periodic-in-time mode: TT invariants and BP vs periodic enumeration.
+Mirrors ``test/periodic.jl``."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import matrixproductbp_tpu as mp
+from matrixproductbp_tpu.ops import (rand_tt, evaluate, marginals, normalize,
+                                     normalization, compress, TruncThresh)
+from matrixproductbp_tpu import exact
+from matrixproductbp_tpu.models import SIS, sis_tables
+from matrixproductbp_tpu.bp import mpbp as make_mpbp
+
+
+def brute_values(tt):
+    T1, P = tt.T1, tt.P
+    configs = np.array(list(itertools.product(range(P), repeat=T1)))
+    vals = np.asarray(
+        jax.jit(jax.vmap(lambda x: evaluate(tt, x)))(jnp.asarray(configs)))
+    return configs, vals
+
+
+def test_periodic_evaluate_and_normalization():
+    tt = rand_tt(jax.random.PRNGKey(0), T1=4, D=4, phys=(2,), bond=3,
+                 periodic=True)
+    configs, vals = brute_values(tt)
+    # manual trace product
+    x = configs[7]
+    M = np.eye(4)
+    for t in range(4):
+        M = M @ np.asarray(tt.cores[t, :, :, x[t]])
+    assert np.isclose(vals[7], np.trace(M), rtol=1e-10)
+    assert np.isclose(float(normalization(tt)), vals.sum(), rtol=1e-10)
+    tt2, lg = normalize(tt)
+    assert np.isclose(float(normalization(tt2)), 1.0, rtol=1e-10)
+
+
+def test_periodic_marginals_and_compress():
+    tt = rand_tt(jax.random.PRNGKey(1), T1=4, D=4, phys=(2,), bond=3,
+                 periodic=True)
+    configs, vals = brute_values(tt)
+    Z = vals.sum()
+    m = np.asarray(marginals(tt))
+    for t in range(4):
+        for p in range(2):
+            ref = vals[configs[:, t] == p].sum() / Z
+            assert np.isclose(m[t, p], ref, rtol=1e-8)
+    c = compress(tt, TruncThresh(0.0))
+    _, vals_c = brute_values(c)
+    assert np.allclose(vals_c, vals, rtol=1e-8, atol=1e-12)
+
+
+def test_periodic_sis_vs_exact():
+    """Periodic BP on a small tree == periodic enumeration (``test/periodic.jl``)."""
+    g = mp.graph_from_edges(3, [(0, 1), (1, 2)])
+    T = 2
+    tables = sis_tables(g, 0.35, 0.25)
+    # free dynamics (no observations): phi all-ones like the reference periodic tests
+    bp = make_mpbp(g, tables, T, D=16, periodic=True)
+    bp, iters, deltas = mp.iterate(bp, maxiter=40, trunc=mp.TruncThresh(0.0),
+                                   tol=1e-12)
+    p_ex, Z = exact.exact_prob(bp)
+    b = np.asarray(mp.beliefs(bp))
+    m_ex = exact.exact_marginals(bp, p_ex)
+    assert np.allclose(b, m_ex, atol=1e-7), np.abs(b - m_ex).max()
+    assert np.isclose(-float(mp.bethe_free_energy(bp)), np.log(Z), atol=1e-7)
+
+
+def test_periodic_sis_with_observations_vs_exact():
+    g = mp.graph_from_edges(3, [(0, 1), (1, 2)])
+    T = 2
+    tables = sis_tables(g, 0.35, 0.25)
+    phi = np.ones((3, T + 1, 2))
+    phi[0, 1] = [0.8, 0.2]
+    phi[2, 0] = [0.3, 0.7]
+    bp = make_mpbp(g, tables, T, D=16, phi=phi, periodic=True)
+    bp, _, _ = mp.iterate(bp, maxiter=40, trunc=mp.TruncThresh(0.0), tol=1e-12)
+    p_ex, Z = exact.exact_prob(bp)
+    b = np.asarray(mp.beliefs(bp))
+    m_ex = exact.exact_marginals(bp, p_ex)
+    assert np.allclose(b, m_ex, atol=1e-7), np.abs(b - m_ex).max()
+    assert np.isclose(-float(mp.bethe_free_energy(bp)), np.log(Z), atol=1e-7)
