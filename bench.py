@@ -38,49 +38,50 @@ def build(dtype):
     return mpbp_sis(sis, D=D_BENCH, dtype=dtype), g
 
 
-def timed_sweeps(bp, device):
+def timed_sweeps(bp, device, sweeps):
+    import jax.numpy as jnp
     import matrixproductbp_tpu as mp
 
     bp = jax.device_put(bp, device)
     trunc = mp.TruncBond(D_BENCH)
-    # compile + warmup
+    # compile + warmup; the final float() forces a real device->host fetch
+    # (block_until_ready alone does not synchronize through the TPU tunnel)
     out = mp.bp_sweep(bp, trunc)
-    jax.block_until_ready(out.msg_cores)
+    float(jnp.sum(out.msg_logz))
     t0 = time.perf_counter()
     cur = out
-    for _ in range(SWEEPS):
+    for _ in range(sweeps):
         cur = mp.bp_sweep(cur, trunc)
-    jax.block_until_ready(cur.msg_cores)
-    return time.perf_counter() - t0
+    float(jnp.sum(cur.msg_logz))
+    return (time.perf_counter() - t0) / sweeps
 
 
 def main():
-    try:
-        jax.config.update("jax_platforms", "axon,cpu")
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     accel = jax.devices()[0]
     dtype = jnp.float32
     bp, g = build(dtype)
-    dt_accel = timed_sweeps(bp, accel)
-    eups = g.E * SWEEPS / dt_accel
+    dt_accel = timed_sweeps(bp, accel, SWEEPS)
+    eups = g.E / dt_accel
 
+    # vs_baseline: speedup over this same implementation on the host CPU
+    # (the reference publishes no absolute numbers — BASELINE.md; its
+    # execution model is CPU-bound Julia, so host CPU is the honest proxy)
     vs = None
     try:
         cpus = jax.devices("cpu")
-        dt_cpu = timed_sweeps(bp, cpus[0])
+        dt_cpu = timed_sweeps(bp, cpus[0], 1)
         vs = dt_cpu / dt_accel
     except Exception:
-        vs = 1.0
+        vs = None
 
     print(json.dumps({
-        "metric": f"edge-message updates/s/chip (SIS ER N={N_NODES} c={MEAN_DEG} "
-                  f"T={T_HORIZON} D={D_BENCH}, f32)",
+        "metric": f"edge-message updates/s/chip (SIS {DEGREE}-regular "
+                  f"N={N_NODES} T={T_HORIZON} D={D_BENCH}, f32)",
         "value": round(eups, 2),
         "unit": "edge_updates/s",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "vs_baseline": round(vs, 3) if vs is not None else None,
     }))
 
 

@@ -37,6 +37,7 @@ from .ops.tensortrain import (
     twovar_marginals, tt_sum, flat_tt, lognorm,
 )
 from .ops.mpem import mpem3_to_mpem2, mpem3_to_mpem2_periodic
+from .ops.randomized import merge_rounded
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
 __all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
@@ -148,13 +149,15 @@ def _check_psi_symmetry(graph: Graph, psi):
 # ---------------------------------------------------------------------------
 
 def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int,
-           periodic: bool = False):
+           periodic: bool = False, method: str = "qr", key=None):
     """op: combine two cavity trains (phys (Y, q)) — Hadamard on x_i,
     ``prob_yy`` contraction on y, Kronecker on bonds, then truncate.
 
     Mirrors ``op`` in ``compute_prob_ys`` (``recursive_bp_factor.jl:117-131``).
     Lc: [T1, DL, DL, Y*q], Rc: [T1, DR, DR, Y*q] -> [T1, Dout, Dout, Y*q].
     """
+    if method == "randomized" and not periodic:
+        return merge_rounded(Lc, Llz, Rc, Rlz, pyy, trunc, Dout, Y, q, key)
     T1, DL = Lc.shape[0], Lc.shape[1]
     DR = Rc.shape[1]
     L = Lc.reshape(T1, DL, DL, Y, q)
@@ -217,7 +220,8 @@ def _f_bp_partial(Cc, Clz, Wtab, phi, qj: int, periodic: bool = False):
 def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
                  psi_out, mask, Py_i, Pyp_i, Pxy_i, Py0_i, phi_i, deg_i,
                  pyy_stack, trunc: SVDTrunc, trunc_cav: SVDTrunc, Dm: int,
-                 Dc: int, damp: float, periodic: bool = False):
+                 Dc: int, damp: float, periodic: bool = False,
+                 method: str = "qr", key=None):
     """Update all outgoing messages + the belief of one node.
 
     Mirrors ``onebpiter!`` for RecursiveBPFactor
@@ -260,7 +264,8 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     def pstep(carry, xs):
         Lc, Llz = carry
         Bk, Bklz, pyy_k = xs
-        out = _merge(Lc, Llz, Bk, Bklz, pyy_k, trunc_cav, Dc, Y, q, periodic)
+        out = _merge(Lc, Llz, Bk, Bklz, pyy_k, trunc_cav, Dc, Y, q, periodic,
+                     method, key)
         return out, out
 
     if K > 1:
@@ -280,7 +285,7 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
             Rc, Rlz = carry
             Bk, Bklz = xs
             out = _merge(Bk, Bklz, Rc, Rlz, pyy_at(1), trunc_cav, Dc, Y, q,
-                         periodic)
+                         periodic, method, key)
             return out, out
 
         (_, _), (Rst_c, Rst_lz) = jax.lax.scan(
@@ -304,7 +309,8 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
         pyy_cav = jnp.stack([pyy_at(k) for k in range(1, K - 1)])
         Cmid_c, Cmid_lz = jax.vmap(
             lambda lc, llz, rc, rlz, pk: _merge(
-                lc, llz, rc, rlz, pk, trunc_cav, Dc, Y, q, periodic)
+                lc, llz, rc, rlz, pk, trunc_cav, Dc, Y, q, periodic,
+                method, key)
         )(Lcav_c, Lcav_lz, Rcav_c, Rcav_lz, pyy_cav)
         Cs_c = jnp.concatenate(
             [Rst_c[0][None], Cmid_c, Lst_c[K - 3][None]], axis=0)
@@ -351,9 +357,11 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     return out_cores, out_lz, bel1.cores, bel1.logz, f_i
 
 
-@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp"))
+@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp",
+                                   "method"))
 def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
-             Dcav: int | None = None, damp: float = 0.0) -> MPBP:
+             Dcav: int | None = None, damp: float = 0.0,
+             method: str = "qr") -> MPBP:
     """One synchronous (Jacobi) BP sweep over all nodes.
 
     Replaces the reference's threaded asynchronous loop (``iterate!``,
@@ -373,11 +381,13 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     msgs_out_old_lz = bp.msg_logz[out_idx]
     psi_out = bp.psi[out_idx]                    # [N, K, T1, q, q] legs (xi, xk)
 
+    key = jax.random.PRNGKey(17)  # deterministic sketch seed
+
     def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg,
                 pyy):
         return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy,
                             py0, ph, dg, pyy, trunc, trunc_cav,
-                            Dm, Dcav, damp, bp.periodic)
+                            Dm, Dcav, damp, bp.periodic, method, key)
 
     tb = bp.tables
 
@@ -415,7 +425,7 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
 def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
             tol: float = 1e-10, damp: float = 0.0,
             trunc_cav: SVDTrunc | None = None, Dcav: int | None = None,
-            callback=None):
+            callback=None, method: str = "qr"):
     """Run sweeps until the marginals stop moving (reference ``iterate!``).
 
     Returns (bp, n_iters, deltas)."""
@@ -424,7 +434,7 @@ def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
     f_old = bp.f
     deltas = []
     for it in range(maxiter):
-        bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp)
+        bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp, method)
         m_new = beliefs(bp)
         # convergence on marginals AND free-energy contributions: under hard
         # observations beliefs can freeze a sweep before the f ledger settles

@@ -1,0 +1,80 @@
+"""Stationary (T -> infinity) mode: uniform-train spectral ops and the BP
+fixed point vs long-horizon finite-T BP (mirrors the stationary blocks of
+``test/glauber_small_tree.jl:320-350`` / ``test/sis_small_tree.jl:148-162``)."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import matrixproductbp_tpu as mp
+from matrixproductbp_tpu import stationary as st
+from matrixproductbp_tpu.factors import build_tables
+from matrixproductbp_tpu.infinite import infinite_regular_graph, mpbp_infinite_graph
+from matrixproductbp_tpu.models import SISFactorSpec
+
+
+def test_uniform_spectral_ops():
+    key = jax.random.PRNGKey(0)
+    u = st.rand_uniform(key, 4, (2,))
+    E = np.asarray(u.core.sum(axis=2))
+    evals, evecs = np.linalg.eig(E)
+    lam_ref = evals[np.argmax(np.abs(evals))].real
+    lg, sg = st.uniform_lognorm(u)
+    assert np.isclose(float(sg) * np.exp(float(lg)), lam_ref, rtol=1e-8)
+    un, lgn = st.uniform_normalize(u)
+    lg2, _ = st.uniform_lognorm(un)
+    assert abs(float(lg2)) < 1e-8
+    # marginals via dense power limit
+    m = np.asarray(st.uniform_marginals(u))
+    En = E / lam_ref
+    M = np.linalg.matrix_power(En, 200)
+    p = np.array([np.trace(M @ np.asarray(u.core[:, :, x]) @ M)
+                  for x in range(2)])
+    p /= p.sum()
+    assert np.allclose(m, p, atol=1e-8)
+
+
+def test_uniform_dot_self_is_one():
+    u = st.rand_uniform(jax.random.PRNGKey(1), 3, (2, 2))
+    assert np.isclose(float(st.uniform_dot(u, u)), 1.0, atol=1e-8)
+
+
+def test_truncate_vumps_lossless_when_rank_small():
+    """A bond-2 train embedded in bond 6, truncated back to 2: the function
+    (marginals, two-time correlations) must be preserved."""
+    key = jax.random.PRNGKey(2)
+    small = st.rand_uniform(key, 2, (2,))
+    core = jnp.zeros((6, 6, 2)).at[:2, :2, :].set(small.core)
+    u = st.UniformMessage(core, jnp.zeros(()), (2,))
+    t = st.truncate_vumps(u, 2)
+    assert t.D == 2
+    assert np.allclose(np.asarray(st.uniform_marginals(u)),
+                       np.asarray(st.uniform_marginals(t)), atol=1e-7)
+    assert np.allclose(np.asarray(st.uniform_twovar_marginals(u, 3)),
+                       np.asarray(st.uniform_twovar_marginals(t, 3)),
+                       atol=1e-6)
+
+
+def test_stationary_sis_matches_long_horizon_bp():
+    """SIS on the infinite 3-regular graph: the stationary fixed point equals
+    late-time beliefs of long-horizon finite-T BP."""
+    k, lam, rho = 3, 0.1, 0.2
+    g = infinite_regular_graph(k)
+    spec = SISFactorSpec(lam, rho)
+    tables = build_tables(g, [spec])
+
+    # finite-T reference, T = 40
+    T = 40
+    phi = np.ones((1, T + 1, 2))
+    phi[0, 0] = [0.9, 0.1]
+    bp = mpbp_infinite_graph(k, tables, T, D=10, phi=phi)
+    bp, _, _ = mp.iterate(bp, maxiter=300, trunc=mp.TruncBond(10), tol=1e-13)
+    b_late = np.asarray(mp.beliefs(bp))[0, T // 2]   # mid-horizon ~ stationary
+
+    sbp = st.mpbp_stationary_infinite_graph(k, tables)
+    sbp, iters, deltas, overlaps = st.iterate_stationary(
+        sbp, maxiter=300, trunc=st.TruncVUMPS(10), tol=1e-12)
+    b_stat = st.beliefs_stationary(sbp)[0]
+    assert np.allclose(b_stat, b_late, atol=2e-3), (b_stat, b_late)
+    assert overlaps[-1] < 1e-6
