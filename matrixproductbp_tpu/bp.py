@@ -38,6 +38,7 @@ from .ops.tensortrain import (
 )
 from .ops.mpem import mpem3_to_mpem2, mpem3_to_mpem2_periodic
 from .ops.randomized import merge_rounded
+from .ops.stta import merge_stta, mpem3_stta
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
 __all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
@@ -158,6 +159,8 @@ def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int,
     """
     if method == "randomized" and not periodic:
         return merge_rounded(Lc, Llz, Rc, Rlz, pyy, trunc, Dout, Y, q, key)
+    if method == "sketch" and not periodic:
+        return merge_stta(Lc, Llz, Rc, Rlz, pyy, Dout, Y, q, key)
     T1, DL = Lc.shape[0], Lc.shape[1]
     DR = Rc.shape[1]
     L = Lc.reshape(T1, DL, DL, Y, q)
@@ -322,9 +325,12 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     #      (recursive_bp_factor.jl:154-158, 168-179) ------------------------
     def one_out(Cc, Clz, Pyp_k, old_c, old_lz):
         B3, B3lz = _f_bp_partial(Cc, Clz, Pyp_k, phi_i, q, periodic)
-        mu = (mpem3_to_mpem2_periodic(B3, B3lz) if periodic
-              else mpem3_to_mpem2(B3, B3lz))
-        mu = compress(mu, trunc, Dout=Dm, assume="left")
+        if method == "sketch" and not periodic:
+            mu = mpem3_stta(B3, B3lz, Dm, key)
+        else:
+            mu = (mpem3_to_mpem2_periodic(B3, B3lz) if periodic
+                  else mpem3_to_mpem2(B3, B3lz))
+            mu = compress(mu, trunc, Dout=Dm, assume="left")
         mu = normalize_eachmatrix(mu)
         mu, logz_k = normalize(mu)
         if damp > 0.0:
@@ -343,9 +349,12 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     Wb = Py_i[:, :, None, :]                             # [q, q, 1, Y]
     B3b, B3blz = _f_bp_partial(full_c, full_lz, Wb, phi_i, 1, periodic)
     B3b = B3b.reshape(T1, B3b.shape[1], B3b.shape[2], q, 1, q)
-    bel2 = (mpem3_to_mpem2_periodic(B3b, B3blz) if periodic
-            else mpem3_to_mpem2(B3b, B3blz))
-    bel2 = compress(bel2, trunc, Dout=Dm, assume="left")
+    if method == "sketch" and not periodic:
+        bel2 = mpem3_stta(B3b, B3blz, Dm, key)
+    else:
+        bel2 = (mpem3_to_mpem2_periodic(B3b, B3blz) if periodic
+                else mpem3_to_mpem2(B3b, B3blz))
+        bel2 = compress(bel2, trunc, Dout=Dm, assume="left")
     # marginalize MPEM2 -> MPEM1 (sum the dummy x_j leg, mpems.jl:27)
     bel1 = TensorTrain(
         bel2.cores.reshape(T1, Dm, Dm, q, 1).sum(axis=4), bel2.logz, (q,),

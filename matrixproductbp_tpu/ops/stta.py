@@ -1,0 +1,199 @@
+"""Streaming two-sided sketch (STTA) compression — the matmul-only fast path.
+
+Motivation (measured on TPU v5e through the axon tunnel): every stock
+``lax.linalg`` decomposition has a ~14-220 ms latency floor at our batched
+small-matrix shapes, and the BP sweep chains O(T * degree) of them — they
+dominate the runtime.  The streaming tensor-train approximation (generalized
+Nystrom for TT; cf. Kressner et al., "Streaming tensor train approximation",
+2022) replaces *all* per-step decompositions with:
+
+* a right-to-left and a left-to-right scan of small einsums (MXU matmuls)
+  computing random sketches of every bond plus the projected cores, and
+* ONE batched Cholesky solve for all time steps at once,
+
+giving cores ``B_t = pinv(S_t W_{t+1}) . (S_{t-1} X_t W_{t+1})`` — an oblique
+projection that is exact (a.s.) whenever the true bond rank is below the
+sketch size, and quasi-optimal under truncation.  Numerator/cross matrices
+are emitted *inside* the sketch scans so no O(T * bond^2) intermediate is
+ever materialized.
+
+Two entry points:
+* ``merge_stta``: the cavity merge (Kronecker pair of trains contracted with
+  the ``prob_yy`` tensor) -> bond ``Dout``, never materializing the D^2 bond.
+* ``mpem3_stta``: the MPEM3 -> truncated MPEM2 message conversion in one shot
+  (replacing the SVD regrouping sweep + compress), sketching the *virtual*
+  regrouped train whose bond is (TT-bond, x_i-link).
+
+These implement the ``method='sketch'`` fast path; the deterministic QR/SVD
+path remains the default for the machine-precision gates.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
+    normalize_eachmatrix
+
+__all__ = ["merge_stta", "mpem3_stta"]
+
+
+def _solve_batched(M, N, eps):
+    """pinv(M) @ N via normal equations with one batched Cholesky.
+
+    M: [..., sl, sr]; N: [..., sl, k] -> [..., sr, k]."""
+    sr = M.shape[-1]
+    G = jnp.einsum("...ij,...ik->...jk", M, M)
+    tr = jnp.maximum(jnp.trace(G, axis1=-2, axis2=-1), 1e-30)
+    Gj = G + (eps * tr / sr)[..., None, None] * jnp.eye(sr, dtype=M.dtype)
+    rhs = jnp.einsum("...ij,...ik->...jk", M, N)
+    L = jnp.linalg.cholesky(Gj)
+    y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                           transpose_a=True)
+
+
+def _eps_for(dtype):
+    return 1e-12 if dtype == jnp.float64 else 1e-6
+
+
+def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
+               oversample: int = 4):
+    """Merge cavity trains L (x) B (prob_yy-contracted) -> bond Dout.
+
+    Lc: [T1, DL, DL, Y*q]; Bc: [T1, DB, DB, Y*q] -> ([T1, Dout, Dout, Y*q], logz).
+    """
+    T1, DL = Lc.shape[0], Lc.shape[1]
+    DB = Bc.shape[1]
+    P = Y * q
+    dtype = Lc.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, DL * DB)
+    sl = min(sr + oversample, DL * DB)
+
+    Lf = Lc.reshape(T1, DL, DL, Y, q)
+    Bf = Bc.reshape(T1, DB, DB, Y, q)
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, Y, q), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, Y, q), dtype)
+
+    # ---- right sketches W_t [DL, DB, sr]: sites t..T1-1 vs psi ------------
+    def wstep(W, xs):
+        Lt, Bt, Pt = xs
+        Th = jnp.einsum("abyx,yuvx->abuvx", Pt, pyy)
+        t1 = jnp.einsum("mnvx,lnb->mlvxb", Bt, W)          # [mB, nL, y2, x, b]
+        u = jnp.einsum("abuvx,mlvxb->mluxa", Th, t1)       # [mB, nL, y1, x, a]
+        W2 = jnp.einsum("knux,mnuxa->kma", Lt, u)          # [mL, mB, a]
+        W2 = W2 / _safe_scale(jnp.max(jnp.abs(W2)))
+        return W2, W2
+
+    W_end = jnp.zeros((DL, DB, sr), dtype).at[0, 0, 0].set(1.0)
+    _, Ws = jax.lax.scan(wstep, W_end, (Lf[1:], Bf[1:], psi[1:]),
+                         reverse=True)
+    # Ws[t] = W_{t+1} (sketch of sites t+1..) for t = 0..T1-2
+
+    # ---- forward pass: carry S_{t-1}; emit (N_t, M_{t-1}-aligned) ---------
+    # For core t (t = 1..T1-1):
+    #   N_t = S_{t-1} X_t W_{t+1}   (W_{T1} = boundary at t = T1-1)
+    #   M_{t-1} = S_{t-1} W_t
+    # The scan runs t = 1..T1-1, carrying S and emitting (N_t, M_{t-1}).
+    def fstep(S, xs):
+        Lt, Bt, Ft, Wt, Wt1 = xs
+        # cross matrix with the *incoming* sketch: M = S W_t
+        Mt = jnp.einsum("ekm,kma->ea", S, Wt)
+        # numerator: N = S X_t W_{t+1}
+        t1 = jnp.einsum("ekm,knux->enmux", S, Lt)          # [e, nL, mB, y1, x]
+        t2 = jnp.einsum("yuvx,enmux,mjvx->enjyx", pyy, t1, Bt)
+        Nt = jnp.einsum("enjyx,njb->eyxb", t2, Wt1)        # [e, Y, q, sr]
+        # advance the sketch: S_t from S_{t-1}
+        S2 = jnp.einsum("efyx,enjyx->fnj", Ft, t2)         # [e', nL, nB]
+        S2 = S2 / _safe_scale(jnp.max(jnp.abs(S2)))
+        return S2, (Nt, Mt)
+
+    # site-0 partial contraction (row (0,0) of X_0): c0[nL, nB, y, x]
+    c0 = jnp.einsum("yuvx,nux,jvx->njyx", pyy, Lf[0, 0], Bf[0, 0])
+    # S_0 = sketch including site 0 (phi_0 enters through its boundary row)
+    S_init = jnp.einsum("fyx,njyx->fnj", phi[0, 0], c0)
+    S_init = S_init / _safe_scale(jnp.max(jnp.abs(S_init)))
+    W_last = jnp.zeros((DL, DB, sr), dtype).at[0, 0, 0].set(1.0)
+    Wnext = jnp.concatenate([Ws[1:], W_last[None]], axis=0)  # W_{t+1}, t=1..T1-1
+    _, (Ns, Ms) = jax.lax.scan(
+        fstep, S_init, (Lf[1:], Bf[1:], phi[1:], Ws, Wnext))
+    # Ns[j] = N_{j+1}, Ms[j] = M_j for j = 0..T1-2
+
+    # ---- first core: row (0,0) of X_0 against W_1 -------------------------
+    v0 = jnp.einsum("njyx,njb->byx", c0, Ws[0]).reshape(sr, P)
+    first = jnp.zeros((sr, sr, P), dtype).at[0].set(v0)
+
+    # ---- interior + last cores via one batched solve ----------------------
+    Bsol = _solve_batched(Ms, Ns.reshape(T1 - 1, sl, P * sr), eps)
+    Bsol = Bsol.reshape(T1 - 1, sr, P, sr).transpose(0, 1, 3, 2)
+    # last core: right bond is the boundary sketch (e0): col 0 only is real
+    last = jnp.zeros((sr, sr, P), dtype).at[:, 0, :].set(Bsol[-1][:, 0, :])
+    cores = jnp.concatenate([first[None], Bsol[:-1], last[None]], axis=0)
+    cores = _fit_axis(_fit_axis(cores, 1, Dout), 2, Dout)
+    tt = normalize_eachmatrix(TensorTrain(cores, Llz + Blz, (Y, q)))
+    return tt.cores, tt.logz
+
+
+def mpem3_stta(B3, logz, Dout: int, key, oversample: int = 4):
+    """MPEM3 stack -> bond-Dout MPEM2 train in one two-sided sketch.
+
+    B3: [T1, Db, Db, qi, qj, qi'] (xi' couples adjacent sites diagonally).
+    The virtual regrouped train (reference ``mpem2(::MPEM3)``) has bond
+    (n, xi'); sketches carry that composite link.  Replaces the SVD sweep +
+    compress of the deterministic path.
+    """
+    T1, Db, _, qi, qj, _ = B3.shape
+    P = qi * qj
+    dtype = B3.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, Db * qi)
+    sl = min(sr + oversample, max(Db * qi, 1))
+
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
+
+    # ---- right sketches W_t [Db, qi(link), sr] ----------------------------
+    def wstep(W, xs):
+        Bt, Pt = xs
+        t1 = jnp.einsum("mnijr,nrc->mijc", Bt, W)
+        W2 = jnp.einsum("mijc,bcij->mib", t1, Pt)
+        W2 = W2 / _safe_scale(jnp.max(jnp.abs(W2)))
+        return W2, W2
+
+    # right boundary: col-0 TT bond, xi' index 0 (reference takes slice 0)
+    W_end = jnp.zeros((Db, qi, sr), dtype).at[0, 0, 0].set(1.0)
+    _, Ws = jax.lax.scan(wstep, W_end, (B3[1:], psi[1:]), reverse=True)
+    # Ws[t] = W_{t+1} for t = 0..T1-2
+
+    # ---- forward pass: carry S_{t-1}, emit (N_t, M_{t-1}) -----------------
+    def fstep(S, xs):
+        Bt, Ft, Wt, Wt1 = xs
+        Mt = jnp.einsum("emi,mib->eb", S, Wt)
+        t1 = jnp.einsum("emi,mnijr->enijr", S, Bt)
+        Nt = jnp.einsum("enijr,nrb->eijb", t1, Wt1)        # [e, qi, qj, sr]
+        S2 = jnp.einsum("enijr,efij->fnr", t1, Ft)
+        S2 = S2 / _safe_scale(jnp.max(jnp.abs(S2)))
+        return S2, (Nt, Mt)
+
+    # S_0 = sketch including site 0 (TT row 0; xi-link of site 0 summed
+    # uniformly on the left — the delta is inside the B3 contraction)
+    S_init = jnp.einsum("fij,nijr->fnr", phi[0, 0], B3[0, 0])
+    S_init = S_init / _safe_scale(jnp.max(jnp.abs(S_init)))
+    W_last = jnp.zeros((Db, qi, sr), dtype).at[0, 0, 0].set(1.0)
+    Wnext = jnp.concatenate([Ws[1:], W_last[None]], axis=0)
+    _, (Ns, Ms) = jax.lax.scan(fstep, S_init, (B3[1:], phi[1:], Ws, Wnext))
+
+    # ---- first core -------------------------------------------------------
+    c0 = jnp.einsum("nijr,nrb->ijb", B3[0, 0], Ws[0])
+    first = jnp.zeros((sr, sr, P), dtype).at[0].set(c0.reshape(P, sr).T)
+
+    # ---- interior + last via one batched solve ----------------------------
+    Bsol = _solve_batched(Ms, Ns.reshape(T1 - 1, sl, P * sr), eps)
+    Bsol = Bsol.reshape(T1 - 1, sr, P, sr).transpose(0, 1, 3, 2)
+    last = jnp.zeros((sr, sr, P), dtype).at[:, 0, :].set(Bsol[-1][:, 0, :])
+    cores = jnp.concatenate([first[None], Bsol[:-1], last[None]], axis=0)
+    cores = _fit_axis(_fit_axis(cores, 1, Dout), 2, Dout)
+    return TensorTrain(cores, logz, (qi, qj))
