@@ -27,7 +27,20 @@ from .bp import (MPBP, mpbp, bp_sweep, iterate, beliefs, beliefs_tu,
                  pair_beliefs, bethe_free_energy, means, autocorrelations,
                  autocovariances, pair_correlations, alternate_marginals,
                  logprob, reset_messages, reset_beliefs, reset_observations)
+from .observations import (pair_observations_directed,
+                           pair_observations_nondirected,
+                           pair_obs_undirected_to_directed)
+from .infinite import (infinite_regular_graph, infinite_bipartite_graph,
+                       mpbp_infinite_graph, mpbp_infinite_bipartite_graph,
+                       bethe_free_energy_infinite_bipartite)
+from .stationary import (TruncVUMPS, UniformMessage, mpbp_stationary,
+                         mpbp_stationary_infinite_graph,
+                         mpbp_stationary_infinite_bipartite_graph,
+                         iterate_stationary, beliefs_stationary,
+                         bethe_free_energy_stationary)
 from . import exact
+from . import sampling
 from . import models
+from . import parallel
 
 __version__ = "0.1.0"

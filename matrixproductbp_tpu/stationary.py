@@ -49,7 +49,7 @@ class TruncVUMPS(SVDTrunc):
     """Bond cap for uniform trains, canonical-gauge truncation
     (reference default ``TruncVUMPS(4)``, ``stationary.jl:258``)."""
     d: int
-    power_iters: int = 200
+    power_iters: int = 100
 
     @property
     def max_bond(self):
@@ -305,46 +305,51 @@ def mpbp_stationary_infinite_bipartite_graph(k, tables, phi=None, psi=None,
                            psi=psi)
 
 
-def _stationary_node_update(bp: MPBPStationary, i: int, trunc: TruncVUMPS):
-    """onebpiter! for the stationary mode (same structure as the finite-T
-    node update; single cores, no compression in the cavity fold)."""
-    g = bp.graph
-    tb = bp.tables
-    q = bp.q
-    Y = tb.Y
-    d = int(g.degree[i])
-    phi_i = jnp.asarray(bp.phi[i])
-    i_tb = i % tb.Py.shape[0]
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("d", "q", "Y", "trunc"))
+def _node_update_jit(msgs_in, psi_out, Py_i, Pyp_i, Pxy_i, Py0_i, Pyy_i,
+                     phi_i, d: int, q: int, Y: int, trunc: "TruncVUMPS"):
+    """Pure jitted node update: compiled once per distinct degree.
+
+    msgs_in: tuple of d UniformMessages; psi_out: [d, q, q].
+    Returns (tuple of d out messages, belief, f_i)."""
+    dtype = phi_i.dtype
 
     def pyy_at(d1):
-        j = i % tb.Pyy.shape[0]
-        return tb.Pyy[j, min(d1, tb.Pyy.shape[1] - 1)]
+        return Pyy_i[min(d1, Pyy_i.shape[0] - 1)]
 
-    # lifted messages
-    B = []
-    for s in range(d):
-        e_in = int(g.in_edges[i, s])
-        e_out = int(g.rev_edge[e_in])
-        pxy = tb.Pxy[i % tb.Pxy.shape[0], s]
-        B.append(_lift(bp.msgs[e_in], pxy, jnp.asarray(bp.psi[e_out]), Y, q))
+    B = [_lift(msgs_in[s], Pxy_i[s], psi_out[s], Y, q) for s in range(d)]
 
     init = UniformMessage(
-        jnp.zeros((1, 1, Y * q), B[0].core.dtype if d else jnp.float64)
-        .at[0, 0, :].set(jnp.asarray(
-            tb.Py0[i % tb.Py0.shape[0]]).reshape(-1)),
-        jnp.zeros(()), (Y, q))
+        jnp.zeros((1, 1, Y * q), dtype).at[0, 0, :].set(Py0_i.reshape(-1)),
+        jnp.zeros((), dtype), (Y, q))
+
+    # Cavity-fold bond cap: the reference leaves the stationary fold
+    # uncompressed (stationary.jl:157), which is exponential in the degree;
+    # we re-truncate in canonical gauge once the bond exceeds 2*d_target,
+    # keeping cost polynomial while staying within truncation error.
+    cap = 2 * trunc.d
+
+    def fold(a, b, pyy_t):
+        out = _merge_inf(a, b, pyy_t, Y, q)
+        if out.D > cap:
+            out = truncate_vumps(out, cap, trunc.power_iters)
+        return out
 
     # prefix / suffix folds
     L = [init]
     for s in range(d):
-        L.append(_merge_inf(L[-1], B[s], pyy_at(s), Y, q))
+        L.append(fold(L[-1], B[s], pyy_at(s)))
     R = [None] * (d + 1)
     R[d] = init
     for s in range(d - 1, -1, -1):
-        R[s] = _merge_inf(B[s], R[s + 1], pyy_at(1), Y, q)
+        R[s] = fold(B[s], R[s + 1], pyy_at(1))
     full = L[d]
 
-    sum_logz = 0.0
+    outs = []
+    logzs = []
     for s in range(d):
         if d == 1:
             C = init
@@ -353,27 +358,49 @@ def _stationary_node_update(bp: MPBPStationary, i: int, trunc: TruncVUMPS):
         elif s == d - 1:
             C = L[d - 1]
         else:
-            C = _merge_inf(L[s], R[s + 1], pyy_at(s), Y, q)
-        Wk = tb.Pyp[i_tb % tb.Pyp.shape[0], s]       # [q, q, q, Y]
-        B5 = _f_bp_partial_inf(C, Wk, phi_i, q, q, Y)
+            C = fold(L[s], R[s + 1], pyy_at(s))
+        B5 = _f_bp_partial_inf(C, Pyp_i[s], phi_i, q, q, Y)
         mu = _mpem2_inf(B5, C.logz, q)
         mu = truncate_vumps(mu, trunc.d, trunc.power_iters)
         mu = uniform_normalize_eachmatrix(mu)
         mu, logz_k = uniform_normalize(mu)
-        e_out = int(g.rev_edge[int(g.in_edges[i, s])])
-        bp.msgs[e_out] = mu
-        sum_logz += float(logz_k)
+        outs.append(mu)
+        logzs.append(logz_k)
 
-    # belief
-    Wb = tb.Py[i_tb][:, :, None, :]                  # [q, q, 1, Y]
+    Wb = Py_i[:, :, None, :]                         # [q, q, 1, Y]
     B5 = _f_bp_partial_inf(full, Wb, phi_i, 1, q, Y)
     bel = _mpem2_inf(B5, full.logz, 1)
     bel = truncate_vumps(bel, trunc.d, trunc.power_iters)
     bel = UniformMessage(bel.core.reshape(bel.D, bel.D, q, 1).sum(axis=3),
                          bel.logz, (q,))
     bel, logz_i = uniform_normalize(bel)
+    f_i = (d / 2.0 - 1.0) * logz_i - 0.5 * sum(logzs)
+    return tuple(outs), bel, f_i
+
+
+def _stationary_node_update(bp: MPBPStationary, i: int, trunc: TruncVUMPS):
+    """onebpiter! for the stationary mode (same structure as the finite-T
+    node update; single cores, no compression in the cavity fold)."""
+    g = bp.graph
+    tb = bp.tables
+    q = bp.q
+    Y = tb.Y
+    d = int(g.degree[i])
+    e_ins = [int(g.in_edges[i, s]) for s in range(d)]
+    e_outs = [int(g.rev_edge[e]) for e in e_ins]
+    msgs_in = tuple(bp.msgs[e] for e in e_ins)
+    psi_out = jnp.asarray(np.stack([bp.psi[e] for e in e_outs])) if d else \
+        jnp.zeros((0, q, q))
+    outs, bel, f_i = _node_update_jit(
+        msgs_in, psi_out,
+        tb.Py[i % tb.Py.shape[0]], tb.Pyp[i % tb.Pyp.shape[0]],
+        tb.Pxy[i % tb.Pxy.shape[0]], tb.Py0[i % tb.Py0.shape[0]],
+        tb.Pyy[i % tb.Pyy.shape[0]],
+        jnp.asarray(bp.phi[i]), d, q, Y, trunc)
+    for s, e in enumerate(e_outs):
+        bp.msgs[e] = outs[s]
     bp.beliefs[i] = bel
-    bp.f[i] = (d / 2.0 - 1.0) * float(logz_i) - 0.5 * sum_logz
+    bp.f[i] = float(f_i)
 
 
 def iterate_stationary(bp: MPBPStationary, maxiter: int = 50,
@@ -381,6 +408,7 @@ def iterate_stationary(bp: MPBPStationary, maxiter: int = 50,
     """Sweeps with marginal-Delta and message-overlap convergence
     (``CB_BPVUMPS``, ``stationary.jl:260-295``)."""
     trunc = TruncVUMPS(4) if trunc is None else trunc
+    dot_jit = jax.jit(uniform_dot)
     m_old = beliefs_stationary(bp)
     deltas, overlaps = [], []
     for it in range(maxiter):
@@ -389,7 +417,8 @@ def iterate_stationary(bp: MPBPStationary, maxiter: int = 50,
             _stationary_node_update(bp, i, trunc)
         m_new = beliefs_stationary(bp)
         delta = float(np.max(np.abs(m_new - m_old)))
-        eps = max(float(jnp.abs(1.0 - uniform_dot(a, b)))
+        eps = max(float(jnp.abs(1.0 - dot_jit(a, b)))
+                  if a.D == b.D else 1.0
                   for a, b in zip(bp.msgs, old_msgs))
         deltas.append(delta)
         overlaps.append(eps)
@@ -399,8 +428,11 @@ def iterate_stationary(bp: MPBPStationary, maxiter: int = 50,
     return bp, maxiter, deltas, overlaps
 
 
+_marginals_jit = jax.jit(uniform_marginals)
+
+
 def beliefs_stationary(bp: MPBPStationary) -> np.ndarray:
-    return np.stack([np.asarray(uniform_marginals(b)) for b in bp.beliefs])
+    return np.stack([np.asarray(_marginals_jit(b)) for b in bp.beliefs])
 
 
 def bethe_free_energy_stationary(bp: MPBPStationary) -> float:
