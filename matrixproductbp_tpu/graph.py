@@ -59,14 +59,36 @@ class Graph:
         return out
 
 
-def graph_from_edges(N: int, undirected_edges, dmax: int | None = None) -> Graph:
-    """Build from a list of undirected pairs (i, j)."""
-    pairs = set()
-    for i, j in undirected_edges:
-        i, j = int(i), int(j)
-        if i == j:
-            raise ValueError("self loops not supported")
-        pairs.add((min(i, j), max(i, j)))
+def graph_from_edges(N: int, undirected_edges, dmax: int | None = None,
+                     native: bool | None = None) -> Graph:
+    """Build from a list of undirected pairs (i, j).
+
+    Uses the C++ builder (``native/graphbuild.cpp``) when available — the
+    pure-Python path is O(E) interpreter work and dominates setup at the
+    1e5-node scale target.  ``native=False`` forces the Python path (used by
+    the consistency test)."""
+    arr = np.asarray(list(undirected_edges) if not isinstance(
+        undirected_edges, np.ndarray) else undirected_edges, dtype=np.int64)
+    if arr.size == 0:
+        arr = arr.reshape(0, 2)
+    if np.any(arr[:, 0] == arr[:, 1]):
+        raise ValueError("self loops not supported")
+    lo = np.minimum(arr[:, 0], arr[:, 1])
+    hi = np.maximum(arr[:, 0], arr[:, 1])
+    uniq = np.unique(lo * np.int64(N) + hi)
+    pairs_arr = np.stack([uniq // N, uniq % N], axis=1).astype(np.int32)
+
+    if native is not False:
+        from . import native as native_mod
+        out = native_mod.build_graph_native(N, pairs_arr, dmax)
+        if out is not None:
+            E, K, edge_src, edge_dst, rev_edge, in_edges, in_mask, nbr, deg = out
+            return Graph(N, E, K, edge_src, edge_dst, rev_edge, in_edges,
+                         in_mask, nbr, deg)
+        if native is True:
+            raise RuntimeError("native graph builder unavailable")
+
+    pairs = {(int(a), int(b)) for a, b in pairs_arr}
     directed = []
     for i, j in pairs:
         directed.append((i, j))
