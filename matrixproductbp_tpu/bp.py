@@ -42,7 +42,7 @@ from .ops.stta import merge_stta, mpem3_stta
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
 __all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
-           "pair_beliefs", "bethe_free_energy", "means", "autocorrelations",
+           "pair_beliefs", "pair_beliefs_as_tt", "bethe_free_energy", "means", "autocorrelations",
            "autocovariances", "pair_correlations", "alternate_marginals",
            "logprob", "reset_messages", "reset_beliefs", "reset_observations"]
 
@@ -528,6 +528,24 @@ def pair_beliefs(bp: MPBP):
     w = 1.0 / jnp.maximum(deg[dst], 1) - 0.5
     logz_nodes = jnp.zeros((bp.N,), marg.dtype).at[dst].add(w * lg)
     return marg, logz_nodes
+
+
+def pair_beliefs_as_tt(bp: MPBP):
+    """Pair beliefs in tensor-train form: batched cores
+    [E, T1, D*D, D*D, q*q] + logz (reference ``pair_beliefs_as_mpem``,
+    ``mpbp.jl:208-216``)."""
+    q = bp.q
+    rev = jnp.asarray(bp.graph.rev_edge)
+
+    def one(cij, zij, cji, zji, psi_e):
+        T1 = cij.shape[0]
+        A = cij.reshape(T1, bp.D, bp.D, q, q)
+        Bt = cji.reshape(T1, bp.D, bp.D, q, q)
+        M = jnp.einsum("tabij,tcdji,tij->tacbdij", A, Bt, psi_e)
+        return M.reshape(T1, bp.D * bp.D, bp.D * bp.D, q * q), zij + zji
+
+    return jax.vmap(one)(bp.msg_cores, bp.msg_logz, bp.msg_cores[rev],
+                         bp.msg_logz[rev], bp.psi)
 
 
 def pair_correlations(bp: MPBP, values: jax.Array | None = None) -> jax.Array:

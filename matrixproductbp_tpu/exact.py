@@ -175,3 +175,20 @@ def exact_autocovariances(bp: MPBP, values=None, p=None) -> np.ndarray:
     T1 = mu.shape[1]
     mask = np.triu(np.ones((T1, T1), bool), k=1)
     return c * mask[None]
+
+
+def exact_pair_marginal_expectations(bp: MPBP, values=None, p=None) -> np.ndarray:
+    """<f(x_i^t) f(x_j^t)> per directed edge (``exact.jl:121-130``)."""
+    m = exact_pair_marginals(bp, p)
+    q = bp.q
+    v = np.arange(q, dtype=float) if values is None else np.asarray(values)
+    return np.einsum("etab,a,b->et", m, v, v)
+
+
+def exact_alternate_marginal_expectations(bp: MPBP, values=None,
+                                          p=None) -> np.ndarray:
+    """<f(x_i^t) f(x_j^{t+1})> per directed edge (``exact.jl:150-158``)."""
+    m = exact_alternate_marginals(bp, p)
+    q = bp.q
+    v = np.arange(q, dtype=float) if values is None else np.asarray(values)
+    return np.einsum("etab,a,b->et", m, v, v)
