@@ -22,11 +22,13 @@ from .ops import (SVDTrunc, TruncThresh, TruncBond, TruncBondMax,
 from .graph import (Graph, graph_from_edges, random_regular_graph,
                     erdos_renyi_graph, random_tree, star_graph, path_graph)
 from .factors import (RecursiveFactorTables, FactorSpec, TraceFactorSpec,
-                      DampedFactorSpec, build_tables, transition_probs)
+                      DampedFactorSpec, build_tables, build_tables_t,
+                      transition_probs)
 from .bp import (MPBP, mpbp, bp_sweep, iterate, beliefs, beliefs_tu,
                  pair_beliefs, bethe_free_energy, means, autocorrelations,
                  autocovariances, pair_correlations, alternate_marginals,
-                 logprob, reset_messages, reset_beliefs, reset_observations)
+                 logprob, reset_messages, reset_beliefs, reset_observations,
+                 CB_BP)
 from .observations import (pair_observations_directed,
                            pair_observations_nondirected,
                            pair_obs_undirected_to_directed)
@@ -38,6 +40,7 @@ from .stationary import (TruncVUMPS, UniformMessage, mpbp_stationary,
                          mpbp_stationary_infinite_bipartite_graph,
                          iterate_stationary, beliefs_stationary,
                          bethe_free_energy_stationary)
+from .checkpoint import save_checkpoint, load_checkpoint, CheckpointManager
 from . import exact
 from . import sampling
 from . import models

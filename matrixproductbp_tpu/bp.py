@@ -44,7 +44,8 @@ from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 __all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
            "pair_beliefs", "pair_beliefs_as_tt", "bethe_free_energy", "means", "autocorrelations",
            "autocovariances", "pair_correlations", "alternate_marginals",
-           "logprob", "reset_messages", "reset_beliefs", "reset_observations"]
+           "logprob", "reset_messages", "reset_beliefs", "reset_observations",
+           "CB_BP"]
 
 
 class GraphArrays(NamedTuple):
@@ -165,7 +166,10 @@ def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int,
     DR = Rc.shape[1]
     L = Lc.reshape(T1, DL, DL, Y, q)
     R = Rc.reshape(T1, DR, DR, Y, q)
-    tmp = jnp.einsum("yabx,tmnax->tmnybx", pyy, L)       # [T1,DL,DL,Y,Y,q]
+    if pyy.ndim == 5:  # time-varying tables: pyy [T1, Y, Y, Y, q]
+        tmp = jnp.einsum("tyabx,tmnax->tmnybx", pyy, L)
+    else:
+        tmp = jnp.einsum("yabx,tmnax->tmnybx", pyy, L)   # [T1,DL,DL,Y,Y,q]
     M = jnp.einsum("tmnybx,tuvbx->tmunvyx", tmp, R)      # [T1,DL,DR,DL,DR,Y,q]
     cores = M.reshape(T1, DL * DR, DL * DR, Y * q)
     tt = TensorTrain(cores, Llz + Rlz, (Y, q), periodic)
@@ -178,20 +182,28 @@ def _embed_first(Bc, Blz, pyy0, py0):
     """Shortcut op(init, B): pure y-relabeling, no bond growth.
     out[y, x] = sum_{a,b} pyy0[y, a, b, x] * py0[a, x] * B[b, x]."""
     T1, Dm = Bc.shape[0], Bc.shape[1]
-    Y, q = py0.shape[0], py0.shape[1]
+    Y, q = py0.shape[-2], py0.shape[-1]
     B = Bc.reshape(T1, Dm, Dm, Y, q)
-    W = jnp.einsum("yabx,ax->ybx", pyy0, py0)            # [Y, Y, q]
-    out = jnp.einsum("ybx,tmnbx->tmnyx", W, B)
+    if pyy0.ndim == 5:  # time-varying: pyy0 [T1,Y,Y,Y,q], py0 [T1,Y,q]
+        W = jnp.einsum("tyabx,tax->tybx", pyy0, py0)
+        out = jnp.einsum("tybx,tmnbx->tmnyx", W, B)
+    else:
+        W = jnp.einsum("yabx,ax->ybx", pyy0, py0)        # [Y, Y, q]
+        out = jnp.einsum("ybx,tmnbx->tmnyx", W, B)
     return out.reshape(T1, Dm, Dm, Y * q), Blz
 
 
 def _embed_second(Bc, Blz, pyy1, py0):
     """Shortcut op(B, init): out[y,x] = sum_{a,b} pyy1[y,a,b,x] B[a,x] py0[b,x]."""
     T1, Dm = Bc.shape[0], Bc.shape[1]
-    Y, q = py0.shape[0], py0.shape[1]
+    Y, q = py0.shape[-2], py0.shape[-1]
     B = Bc.reshape(T1, Dm, Dm, Y, q)
-    W = jnp.einsum("yabx,bx->yax", pyy1, py0)
-    out = jnp.einsum("yax,tmnax->tmnyx", W, B)
+    if pyy1.ndim == 5:
+        W = jnp.einsum("tyabx,tbx->tyax", pyy1, py0)
+        out = jnp.einsum("tyax,tmnax->tmnyx", W, B)
+    else:
+        W = jnp.einsum("yabx,bx->yax", pyy1, py0)
+        out = jnp.einsum("yax,tmnax->tmnyx", W, B)
     return out.reshape(T1, Dm, Dm, Y * q), Blz
 
 
@@ -201,18 +213,26 @@ def _f_bp_partial(Cc, Clz, Wtab, phi, qj: int, periodic: bool = False):
     ``recursive_bp_factor.jl:73-87``; periodic variant ``:89-101`` applies the
     transition at every time step).
 
-    Cc: [T1, Dc, Dc, Y*q];  Wtab: [q(xp), q(xi), qj, Y]  ->
+    Cc: [T1, Dc, Dc, Y*q];  Wtab: [q(xp), q(xi), qj, Y] (or [T1, ...] for
+    time-varying factors, reference ``w[i][t]``)  ->
     B3: [T1, Dc, Dc, q, qj, q(xp)].
     Open trains: the last step has no transition factor (uniform in xj, xp).
     """
     T1, Dc = Cc.shape[0], Cc.shape[1]
-    q = Wtab.shape[0]
-    Y = Wtab.shape[3]
+    q = Wtab.shape[-4]
+    Y = Wtab.shape[-1]
     C = Cc.reshape(T1, Dc, Dc, Y, q)
-    if periodic:
+    if Wtab.ndim == 5:
+        if periodic:
+            B3 = jnp.einsum("tpijy,tmnyi,ti->tmnijp", Wtab, C, phi)
+            return B3, Clz
+        main = jnp.einsum("tpijy,tmnyi,ti->tmnijp", Wtab[:-1], C[:-1],
+                          phi[:-1])
+    elif periodic:
         B3 = jnp.einsum("pijy,tmnyi,ti->tmnijp", Wtab, C, phi)
         return B3, Clz
-    main = jnp.einsum("pijy,tmnyi,ti->tmnijp", Wtab, C[:-1], phi[:-1])
+    else:
+        main = jnp.einsum("pijy,tmnyi,ti->tmnijp", Wtab, C[:-1], phi[:-1])
     lastC = jnp.einsum("mnyi,i->mni", C[-1], phi[-1])    # sum over y
     last = jnp.broadcast_to(lastC[:, :, :, None, None],
                             (Dc, Dc, q, qj, q))
@@ -235,13 +255,16 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     """
     K, T1 = msgs_in_c.shape[0], msgs_in_c.shape[1]
     q = phi_i.shape[1]
-    Y = Py0_i.shape[0]
+    Y = Py0_i.shape[-2]
     dtype = msgs_in_c.dtype
 
     # ---- lift each incoming message to y-space (recursive_bp_factor.jl:108-115)
     A = msgs_in_c.reshape(K, T1, Dm, Dm, q, q)           # legs (x_k, x_i)
     # B_k[m,n,y,xi] = sum_xk Pxy[k,y,xk,xi] psi_out[k,t,xi,xk] A[k,t,m,n,xk,xi]
-    B = jnp.einsum("kyci,ktic,ktmnci->ktmnyi", Pxy_i, psi_out, A)
+    if Pxy_i.ndim == 5:  # time-varying tables: Pxy_i [K, T1, Y, q, q]
+        B = jnp.einsum("ktyci,ktic,ktmnci->ktmnyi", Pxy_i, psi_out, A)
+    else:
+        B = jnp.einsum("kyci,ktic,ktmnci->ktmnyi", Pxy_i, psi_out, A)
     # padded slots -> identity element (prob_y0 one-hot, bond (0,0))
     ident = jnp.zeros((T1, Dm, Dm, Y, q), dtype)
     ident = ident.at[:, 0, 0].set(jnp.broadcast_to(Py0_i, (T1, Y, q)))
@@ -346,7 +369,7 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     sum_logz = jnp.sum(jnp.where(mask, logz_ks, 0.0))
 
     # ---- belief: f_bp_partial_i on the full fold --------------------------
-    Wb = Py_i[:, :, None, :]                             # [q, q, 1, Y]
+    Wb = Py_i[..., None, :]                              # [(T1,) q, q, 1, Y]
     B3b, B3blz = _f_bp_partial(full_c, full_lz, Wb, phi_i, 1, periodic)
     B3b = B3b.reshape(T1, B3b.shape[1], B3b.shape[2], q, 1, q)
     if method == "sketch" and not periodic:
@@ -430,6 +453,29 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
 # ---------------------------------------------------------------------------
 # driver & observables
 # ---------------------------------------------------------------------------
+
+class CB_BP:
+    """Per-sweep observability callback (reference ``CB_BP``,
+    ``mpbp.jl:157-183``): records the marginal-mean trajectory and the
+    convergence Δ history.  Pass as ``callback=`` to :func:`iterate`; the Δ
+    computed by ``iterate`` (marginals *and* free-energy ledger) is recorded.
+
+    >>> cb = CB_BP()
+    >>> bp, n, _ = iterate(bp, maxiter=20, callback=cb)
+    >>> cb.Delta   # [n] convergence history
+    >>> cb.m       # list of [N, T1] mean trajectories, one per sweep
+    """
+
+    def __init__(self, values: jax.Array | None = None):
+        self.values = values
+        self.m: list = []
+        self.Delta: list = []
+
+    def __call__(self, bp: MPBP, it: int, delta: float) -> float:
+        self.m.append(np.asarray(means(bp, self.values)))
+        self.Delta.append(delta)
+        return delta
+
 
 def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
             tol: float = 1e-10, damp: float = 0.0,
@@ -600,7 +646,7 @@ def logprob(bp: MPBP, x: np.ndarray) -> float:
     lp = jnp.sum(jnp.log(bp.phi[jnp.arange(N), 0, x[:, 0]]))
     for t in range(T1 - 1):
         xn = x[:, t][nbr]                                # [N, K]
-        p = transition_probs(bp.tables, mask, xn, x[:, t])
+        p = transition_probs(bp.tables.at_time(t), mask, xn, x[:, t])
         lp += jnp.sum(jnp.log(p[jnp.arange(N), x[:, t + 1]]))
         lp += jnp.sum(jnp.log(bp.phi[jnp.arange(N), t + 1, x[:, t + 1]]))
     src = jnp.asarray(g.edge_src)

@@ -53,21 +53,25 @@ def exact_prob(bp: MPBP):
     import jax
     nbr = np.minimum(g.nbr, g.N - 1)
     mask = jnp.asarray(g.in_mask)
-    pfun = jax.jit(jax.vmap(
-        lambda a, b: transition_probs(bp.tables, mask, a, b)))
+
+    def pfun(t, xn, xt):
+        tb = bp.tables.at_time(t)
+        return jax.jit(jax.vmap(
+            lambda a, b: transition_probs(tb, mask, a, b)))(xn, xt)
+
     for t in range(T1 - 1):
         xt = X[:, :, t]
         xn = xt[:, nbr]                               # [Q, N, K]
-        p = np.asarray(pfun(jnp.asarray(xn), jnp.asarray(xt)))  # [Q, N, q]
+        p = np.asarray(pfun(t, jnp.asarray(xn), jnp.asarray(xt)))  # [Q, N, q]
         logp += np.log(
             p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, t + 1]]
         ).sum(axis=1)
     if bp.periodic:
-        # time-periodic wrap: transition from t = T back to t = 0
-        # (reference exact.jl:24-26)
+        # time-periodic wrap: transition from t = T back to t = 0 with the
+        # last factor w[i][end] (reference exact.jl:24-26)
         xt = X[:, :, T1 - 1]
         xn = xt[:, nbr]
-        p = np.asarray(pfun(jnp.asarray(xn), jnp.asarray(xt)))
+        p = np.asarray(pfun(T1 - 1, jnp.asarray(xn), jnp.asarray(xt)))
         logp += np.log(
             p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, 0]]
         ).sum(axis=1)

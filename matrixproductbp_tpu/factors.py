@@ -42,6 +42,7 @@ __all__ = [
     "TraceFactorSpec",
     "DampedFactorSpec",
     "build_tables",
+    "build_tables_t",
     "transition_probs",
 ]
 
@@ -49,11 +50,25 @@ __all__ = [
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RecursiveFactorTables:
-    Py: jax.Array    # [N, q, q, Y]       (x', x, y)
-    Pyp: jax.Array   # [N, K, q, q, q, Y]  (x', x, xk, y_cav)
-    Pxy: jax.Array   # [N, K, Y, q, q]    (y, xk, xi)
-    Pyy: jax.Array   # [N, K, Y, Y, Y, q] (d1, y, y_first, y_second, xi)
-    Py0: jax.Array   # [N, Y, q]          (y, xi)
+    """Dense factor tables; two layouts share one class.
+
+    Time-constant (reference models; the default):
+      Py [N, q, q, Y] / Pyp [N, K, q, q, q, Y] / Pxy [N, K, Y, q, q] /
+      Pyy [N, K, Y, Y, Y, q] / Py0 [N, Y, q]
+    Time-varying (reference ``w[i][t]``, a different factor per time step —
+    ``mpbp.jl:3,22``; built by :func:`build_tables_t`): a T1 axis is inserted
+    after the slot axes:
+      Py [N, T1, q, q, Y] / Pyp [N, K, T1, q, q, q, Y] /
+      Pxy [N, K, T1, Y, q, q] / Pyy [N, K, T1, Y, Y, Y, q] / Py0 [N, T1, Y, q]
+    Index t governs the transition x^t -> x^{t+1}; entry t = T is used only
+    by the periodic wrap (``exact.jl:24-26``).
+    """
+
+    Py: jax.Array
+    Pyp: jax.Array
+    Pxy: jax.Array
+    Pyy: jax.Array
+    Py0: jax.Array
     # Any leading node axis may be 1 (broadcast) for homogeneous factors.
 
     def tree_flatten(self):
@@ -64,12 +79,16 @@ class RecursiveFactorTables:
         return cls(*children)
 
     @property
+    def time_varying(self) -> bool:
+        return self.Py.ndim == 5
+
+    @property
     def q(self) -> int:
-        return self.Py.shape[1]
+        return self.Py.shape[-3]
 
     @property
     def Y(self) -> int:
-        return self.Py.shape[3]
+        return self.Py.shape[-1]
 
     @property
     def N(self) -> int:
@@ -78,6 +97,14 @@ class RecursiveFactorTables:
     @property
     def K(self) -> int:
         return self.Pxy.shape[1]
+
+    def at_time(self, t: int) -> "RecursiveFactorTables":
+        """Time-constant view at step ``t`` (identity for constant tables)."""
+        if not self.time_varying:
+            return self
+        return RecursiveFactorTables(self.Py[:, t], self.Pyp[:, :, t],
+                                     self.Pxy[:, :, t], self.Pyy[:, :, t],
+                                     self.Py0[:, t])
 
     def astype(self, dtype):
         return RecursiveFactorTables(*(x.astype(dtype) for x in self.tree_flatten()[0]))
@@ -202,12 +229,13 @@ class DampedFactorSpec(FactorSpec):
 
 
 def build_tables(graph: Graph, specs: Sequence[FactorSpec],
-                 dtype=np.float64) -> RecursiveFactorTables:
+                 dtype=np.float64, Y_pad: int | None = None) -> RecursiveFactorTables:
     """Generic (host-side, loop-based) table builder from per-node specs.
 
     Hot models (SIS/SIRS/Glauber) ship vectorized builders in ``models/``; this
     generic path is the table analogue of the reference's default method
-    fallbacks and supports arbitrary factors.
+    fallbacks and supports arbitrary factors.  ``Y_pad`` forces a larger y-axis
+    (used by :func:`build_tables_t` to keep all time slices stackable).
     """
     N, K = graph.N, graph.dmax
     q = specs[0].q
@@ -217,6 +245,9 @@ def build_tables(graph: Graph, specs: Sequence[FactorSpec],
         for i in range(N)
     )
     Y = max(Y, 1)
+    if Y_pad is not None:
+        assert Y_pad >= Y, f"Y_pad={Y_pad} < required Y={Y}"
+        Y = Y_pad
 
     Py = np.zeros((N, q, q, Y), dtype)
     Pyp = np.zeros((N, K, q, q, q, Y), dtype)
@@ -272,6 +303,37 @@ def build_tables(graph: Graph, specs: Sequence[FactorSpec],
     )
 
 
+def build_tables_t(graph: Graph, specs_t: Sequence[Sequence[FactorSpec]],
+                   dtype=np.float64) -> RecursiveFactorTables:
+    """Time-varying table builder: ``specs_t[i][t]`` is node i's factor for
+    the transition x^t -> x^{t+1} (reference ``w[i][t]``, length T+1 per node,
+    ``mpbp.jl:22``; the t = T entry only matters in periodic mode).
+
+    Returns tables with the T1 axis layout documented on
+    :class:`RecursiveFactorTables`.  If every node's factors are identical
+    across time, prefer :func:`build_tables` (cheaper sweep path).
+    """
+    N = graph.N
+    T1 = len(specs_t[0])
+    assert all(len(s) == T1 for s in specs_t), "every node needs T+1 factors"
+    deg = graph.degree
+    Y = max(
+        max((specs_t[i][t].nstates(l) for l in range(int(deg[i]) + 1)),
+            default=1)
+        for i in range(N) for t in range(T1)
+    )
+    Y = max(Y, 1)
+    slices = [build_tables(graph, [specs_t[i][t] for i in range(N)], dtype,
+                           Y_pad=Y) for t in range(T1)]
+    return RecursiveFactorTables(
+        jnp.stack([s.Py for s in slices], axis=1),
+        jnp.stack([s.Pyp for s in slices], axis=2),
+        jnp.stack([s.Pxy for s in slices], axis=2),
+        jnp.stack([s.Pyy for s in slices], axis=2),
+        jnp.stack([s.Py0 for s in slices], axis=1),
+    )
+
+
 def transition_probs(tables: RecursiveFactorTables, in_mask: jax.Array,
                      x_nbr: jax.Array, x: jax.Array) -> jax.Array:
     """P(x_i^{t+1} | x_nbrs, x_i) for every node — the table analogue of the
@@ -279,8 +341,10 @@ def transition_probs(tables: RecursiveFactorTables, in_mask: jax.Array,
 
     Used by the exact-enumeration oracle, trajectory log-prob and the sampler.
     x_nbr: i[N, K] padded neighbor states; x: i[N]; returns f[N, q].
-    Tables with a broadcast node axis (size 1) are supported.
+    Tables with a broadcast node axis (size 1) are supported.  Time-varying
+    tables must be sliced with ``tables.at_time(t)`` by the caller.
     """
+    assert not tables.time_varying, "slice time-varying tables with at_time(t)"
     N, K = x_nbr.shape
     q, Y = tables.q, tables.Y
     i_py0 = jnp.arange(N) % tables.Py0.shape[0]

@@ -57,15 +57,16 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
 
     L = Lc.reshape(T1, DL, DL, Y, q)
     B = Bc.reshape(T1, DB, DB, Y, q)
+    pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape[-4:])  # tiny: [T1,Y,Y,Y,q]
 
     theta = jax.random.normal(key, (T1, s, s, Y, q), dtype)
 
     # ---- right-to-left sketch pass: W_t[mL, mB, a] ------------------------
     # W_{T+1} = e0 (x) e0 (x) e0  (open-train boundary: col 0 / theta col 0)
     def wstep(W, xs):
-        Lt, Bt, Tt = xs
+        Lt, Bt, Tt, Pyyt = xs
         # contract pyy with theta once per step: Th[a, b, y1, y2, x]
-        Th = jnp.einsum("abyx,yuvx->abuvx", Tt, pyy)
+        Th = jnp.einsum("abyx,yuvx->abuvx", Tt, Pyyt)
         t1 = jnp.einsum("mnvx,lnb->mlvxb", Bt, W)        # [DB,DL(n? see below)]
         # W[nL, nB, b]; t1[mB, nL, y2, x, b]
         u = jnp.einsum("abuvx,mlvxb->mluxa", Th, t1)     # [mB, nL, y1, x, a]
@@ -80,20 +81,21 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
         W2, _ = wstep(W, xs)
         return W2, W2
 
-    _, Ws = jax.lax.scan(wcollect, W0, (L[1:], B[1:], theta[1:]), reverse=True)
+    _, Ws = jax.lax.scan(wcollect, W0, (L[1:], B[1:], theta[1:], pyy_t[1:]),
+                         reverse=True)
     # Ws[t] = W_{t+1} for t = 0..T1-2  (partial contraction of sites t+1..T)
 
     # ---- left-to-right projection pass ------------------------------------
-    def zcompute(C, Lt, Bt):
+    def zcompute(C, Lt, Bt, Pyyt):
         # C: [s, DL, DB] carry; returns Z[s, nL, nB, y, x]
         t1 = jnp.einsum("pkm,knux->pnmux", C, Lt)        # [s, nL, mB, y1, x]
-        Z = jnp.einsum("yuvx,pnmux,mjvx->pnjyx", pyy, t1, Bt)
+        Z = jnp.einsum("yuvx,pnmux,mjvx->pnjyx", Pyyt, t1, Bt)
         return Z
 
     def lstep(carry, xs):
         C, lg = carry
-        Lt, Bt, Wt1 = xs
-        Z = zcompute(C, Lt, Bt)                          # [s, nL, nB, Y, q]
+        Lt, Bt, Wt1, Pyyt = xs
+        Z = zcompute(C, Lt, Bt, Pyyt)                    # [s, nL, nB, Y, q]
         m = _safe_scale(jnp.max(jnp.abs(Z)))
         Z = Z / m
         lg = lg - jnp.log(m)
@@ -105,10 +107,10 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
 
     C0 = jnp.zeros((s, DL, DB), dtype).at[0, 0, 0].set(1.0)
     (C, lg), cores = jax.lax.scan(
-        lstep, (C0, Llz + Blz), (L[:-1], B[:-1], Ws))
+        lstep, (C0, Llz + Blz), (L[:-1], B[:-1], Ws, pyy_t[:-1]))
 
     # ---- last core: absorb carry; right bond is col-0 ---------------------
-    Zl = zcompute(C, L[-1], B[-1])                       # [s, nL, nB, Y, q]
+    Zl = zcompute(C, L[-1], B[-1], pyy_t[-1])            # [s, nL, nB, Y, q]
     last = jnp.zeros((s, s, P), dtype).at[:, 0, :].set(
         Zl[:, 0, 0].reshape(s, P))
     cores = jnp.concatenate([cores, last[None]], axis=0)

@@ -62,6 +62,7 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
     """Merge cavity trains L (x) B (prob_yy-contracted) -> bond Dout.
 
     Lc: [T1, DL, DL, Y*q]; Bc: [T1, DB, DB, Y*q] -> ([T1, Dout, Dout, Y*q], logz).
+    ``pyy`` may carry a leading T1 axis (time-varying factors).
     """
     T1, DL = Lc.shape[0], Lc.shape[1]
     DB = Bc.shape[1]
@@ -73,14 +74,15 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
 
     Lf = Lc.reshape(T1, DL, DL, Y, q)
     Bf = Bc.reshape(T1, DB, DB, Y, q)
+    pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape[-4:])  # tiny: [T1,Y,Y,Y,q]
     kphi, kpsi = jax.random.split(key)
     phi = jax.random.normal(kphi, (T1, sl, sl, Y, q), dtype)
     psi = jax.random.normal(kpsi, (T1, sr, sr, Y, q), dtype)
 
     # ---- right sketches W_t [DL, DB, sr]: sites t..T1-1 vs psi ------------
     def wstep(W, xs):
-        Lt, Bt, Pt = xs
-        Th = jnp.einsum("abyx,yuvx->abuvx", Pt, pyy)
+        Lt, Bt, Pt, Pyyt = xs
+        Th = jnp.einsum("abyx,yuvx->abuvx", Pt, Pyyt)
         t1 = jnp.einsum("mnvx,lnb->mlvxb", Bt, W)          # [mB, nL, y2, x, b]
         u = jnp.einsum("abuvx,mlvxb->mluxa", Th, t1)       # [mB, nL, y1, x, a]
         W2 = jnp.einsum("knux,mnuxa->kma", Lt, u)          # [mL, mB, a]
@@ -88,7 +90,7 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
         return W2, W2
 
     W_end = jnp.zeros((DL, DB, sr), dtype).at[0, 0, 0].set(1.0)
-    _, Ws = jax.lax.scan(wstep, W_end, (Lf[1:], Bf[1:], psi[1:]),
+    _, Ws = jax.lax.scan(wstep, W_end, (Lf[1:], Bf[1:], psi[1:], pyy_t[1:]),
                          reverse=True)
     # Ws[t] = W_{t+1} (sketch of sites t+1..) for t = 0..T1-2
 
@@ -98,12 +100,12 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
     #   M_{t-1} = S_{t-1} W_t
     # The scan runs t = 1..T1-1, carrying S and emitting (N_t, M_{t-1}).
     def fstep(S, xs):
-        Lt, Bt, Ft, Wt, Wt1 = xs
+        Lt, Bt, Ft, Wt, Wt1, Pyyt = xs
         # cross matrix with the *incoming* sketch: M = S W_t
         Mt = jnp.einsum("ekm,kma->ea", S, Wt)
         # numerator: N = S X_t W_{t+1}
         t1 = jnp.einsum("ekm,knux->enmux", S, Lt)          # [e, nL, mB, y1, x]
-        t2 = jnp.einsum("yuvx,enmux,mjvx->enjyx", pyy, t1, Bt)
+        t2 = jnp.einsum("yuvx,enmux,mjvx->enjyx", Pyyt, t1, Bt)
         Nt = jnp.einsum("enjyx,njb->eyxb", t2, Wt1)        # [e, Y, q, sr]
         # advance the sketch: S_t from S_{t-1}
         S2 = jnp.einsum("efyx,enjyx->fnj", Ft, t2)         # [e', nL, nB]
@@ -111,14 +113,14 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
         return S2, (Nt, Mt)
 
     # site-0 partial contraction (row (0,0) of X_0): c0[nL, nB, y, x]
-    c0 = jnp.einsum("yuvx,nux,jvx->njyx", pyy, Lf[0, 0], Bf[0, 0])
+    c0 = jnp.einsum("yuvx,nux,jvx->njyx", pyy_t[0], Lf[0, 0], Bf[0, 0])
     # S_0 = sketch including site 0 (phi_0 enters through its boundary row)
     S_init = jnp.einsum("fyx,njyx->fnj", phi[0, 0], c0)
     S_init = S_init / _safe_scale(jnp.max(jnp.abs(S_init)))
     W_last = jnp.zeros((DL, DB, sr), dtype).at[0, 0, 0].set(1.0)
     Wnext = jnp.concatenate([Ws[1:], W_last[None]], axis=0)  # W_{t+1}, t=1..T1-1
     _, (Ns, Ms) = jax.lax.scan(
-        fstep, S_init, (Lf[1:], Bf[1:], phi[1:], Ws, Wnext))
+        fstep, S_init, (Lf[1:], Bf[1:], phi[1:], Ws, Wnext, pyy_t[1:]))
     # Ns[j] = N_{j+1}, Ms[j] = M_j for j = 0..T1-2
 
     # ---- first core: row (0,0) of X_0 against W_1 -------------------------

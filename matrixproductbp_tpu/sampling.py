@@ -53,19 +53,32 @@ def _sample_trajectories(bp: MPBP, key, nsamples: int):
     dst = jnp.asarray(g.edge_dst)
     p0 = phi[:, 0, :] / jnp.sum(phi[:, 0, :], axis=1, keepdims=True)
 
+    tb = bp.tables
+    if tb.time_varying:
+        # per-transition tables as scan inputs (constant layout per slice)
+        from .factors import RecursiveFactorTables
+        tb_seq = RecursiveFactorTables(
+            jnp.moveaxis(tb.Py, 1, 0)[:-1], jnp.moveaxis(tb.Pyp, 2, 0)[:-1],
+            jnp.moveaxis(tb.Pxy, 2, 0)[:-1], jnp.moveaxis(tb.Pyy, 2, 0)[:-1],
+            jnp.moveaxis(tb.Py0, 1, 0)[:-1])
+    else:
+        tb_seq = None
+
     def one(key):
         k0, key = jax.random.split(key)
         x0 = jax.random.categorical(k0, jnp.log(p0), axis=1)       # [N]
 
-        def step(carry, key_t):
+        def step(carry, xs_t):
             x = carry
+            key_t, tb_t = xs_t
             xn = x[nbr]                                            # [N, K]
-            p = transition_probs(bp.tables, mask, xn, x)           # [N, q]
+            p = transition_probs(tb if tb_t is None else tb_t,
+                                 mask, xn, x)                      # [N, q]
             xnew = jax.random.categorical(key_t, jnp.log(p), axis=1)
             return xnew, xnew
 
         keys = jax.random.split(key, T1 - 1)
-        _, xs = jax.lax.scan(step, x0, keys)
+        _, xs = jax.lax.scan(step, x0, (keys, tb_seq))
         X = jnp.concatenate([x0[None], xs], axis=0).T              # [N, T1]
 
         # log-weight: observations only (the prior transition probs cancel)
