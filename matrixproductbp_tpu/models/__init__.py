@@ -12,7 +12,7 @@ from .glauber import (Ising, Glauber, potts2spin, spin2potts, energy,
                       IntegerGlauberFactorSpec, GenericGlauberFactorSpec,
                       glauber_factor_specs, mpbp_glauber)
 from .equilibrium import (RandomRegular, ErdosRenyi, equilibrium_observables,
-                          equilibrium_magnetization)
+                          equilibrium_magnetization, CB_Pop)
 from .inference import find_infected_bp, roc, auc, kl_marginals, l1_marginals
 
 __all__ = [
@@ -25,6 +25,6 @@ __all__ = [
     "IntegerGlauberFactorSpec", "GenericGlauberFactorSpec",
     "glauber_factor_specs", "mpbp_glauber",
     "RandomRegular", "ErdosRenyi", "equilibrium_observables",
-    "equilibrium_magnetization",
+    "equilibrium_magnetization", "CB_Pop",
     "find_infected_bp", "roc", "auc", "kl_marginals", "l1_marginals",
 ]

@@ -14,7 +14,19 @@ import warnings
 import numpy as np
 
 __all__ = ["RandomRegular", "ErdosRenyi", "equilibrium_observables",
-           "equilibrium_magnetization"]
+           "equilibrium_magnetization", "CB_Pop"]
+
+
+class CB_Pop:
+    """Records the population-mean trajectory of the population-dynamics
+    solver (reference ``CB_Pop``, ``equilibrium.jl:43-69``).  Pass as
+    ``callback=`` to :func:`equilibrium_magnetization`."""
+
+    def __init__(self):
+        self.m: list = []
+
+    def __call__(self, it: int, m: float) -> None:
+        self.m.append(m)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +74,7 @@ def equilibrium_observables(g: RandomRegular, J, beta=1.0, h=0.0,
 
 def equilibrium_magnetization(g, pJ=None, beta=1.0, ph=None, popsize=10**3,
                               maxiter=10**3, tol=None, nsamples=10**3,
-                              rng=None):
+                              rng=None, callback=None):
     """Population-dynamics estimate of |m| with standard error
     (``equilibrium_magnetization``, ``equilibrium.jl:85-127``).
 
@@ -101,6 +113,8 @@ def equilibrium_magnetization(g, pJ=None, beta=1.0, ph=None, popsize=10**3,
             P[idx] = np.sum(np.arctanh(np.tanh(beta * us)
                                        * np.tanh(beta * Js))) / beta + h
         m_new = P.mean()
+        if callback is not None:
+            callback(it, float(m_new))
         if abs(m_new - m_old) < tol:
             break
         m_old = m_new

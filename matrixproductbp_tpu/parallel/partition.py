@@ -16,10 +16,23 @@ __all__ = ["partition_nodes", "edge_cut"]
 
 
 def partition_nodes(graph: Graph, nparts: int,
-                    rng: np.random.Generator | None = None) -> np.ndarray:
-    """Greedy balanced BFS partitioning: part[N] in [0, nparts)."""
+                    rng: np.random.Generator | None = None,
+                    native: bool | None = None) -> np.ndarray:
+    """Greedy balanced BFS partitioning: part[N] in [0, nparts).
+
+    Uses the C++ partitioner (``native/graphbuild.cpp``) when available —
+    the Python BFS is interpreter-bound at the 1e5-node scale target;
+    ``native=False`` forces the Python path (consistency test)."""
     rng = np.random.default_rng(0) if rng is None else rng
     N = graph.N
+    if native is not False:
+        from .. import native as native_mod
+        order = rng.permutation(N).astype(np.int32)
+        part = native_mod.partition_native(graph, nparts, order)
+        if part is not None:
+            return part
+        if native is True:
+            raise RuntimeError("native partitioner unavailable")
     target = (N + nparts - 1) // nparts
     part = np.full(N, -1, dtype=np.int32)
     nbrs = [graph.nbr[i][graph.in_mask[i]] for i in range(N)]
