@@ -24,11 +24,14 @@ from .graph import (Graph, graph_from_edges, random_regular_graph,
 from .factors import (RecursiveFactorTables, FactorSpec, TraceFactorSpec,
                       DampedFactorSpec, build_tables, build_tables_t,
                       transition_probs)
-from .bp import (MPBP, mpbp, bp_sweep, iterate, beliefs, beliefs_tu,
-                 pair_beliefs, bethe_free_energy, means, autocorrelations,
-                 autocovariances, pair_correlations, alternate_marginals,
-                 logprob, reset_messages, reset_beliefs, reset_observations,
-                 CB_BP)
+from .bp import (MPBP, mpbp, periodic_mpbp, bp_sweep, iterate, beliefs,
+                 beliefs_tu, pair_beliefs, pair_beliefs_as_tt,
+                 pair_beliefs_as_mpem, bethe_free_energy, means,
+                 autocorrelations, autocovariances, pair_correlations,
+                 alternate_marginals, alternate_correlations, logprob,
+                 expectation, reset, reset_messages, reset_beliefs,
+                 reset_observations, is_periodic, is_free_dynamics, getT,
+                 getN, nstates, CB_BP)
 from .observations import (pair_observations_directed,
                            pair_observations_nondirected,
                            pair_obs_undirected_to_directed)
@@ -41,9 +44,23 @@ from .stationary import (TruncVUMPS, UniformMessage, mpbp_stationary,
                          iterate_stationary, beliefs_stationary,
                          bethe_free_energy_stationary)
 from .checkpoint import save_checkpoint, load_checkpoint, CheckpointManager
+from .utils import mean_with_uncertainty
 from . import exact
 from . import sampling
 from . import models
 from . import parallel
+
+# reference top-level symbols re-exported from submodules
+# (src/MatrixProductBP.jl:41-71 exports the oracle/sampler surface flat)
+from .exact import (exact_prob, site_marginals, exact_marginals,
+                    exact_pair_marginals, exact_alternate_marginals,
+                    exact_autocorrelations, exact_autocovariances,
+                    exact_marginal_expectations,
+                    exact_pair_marginal_expectations,
+                    exact_alternate_marginal_expectations)
+from .sampling import (SoftMarginSampler, sample, sample_one, marginals_mc,
+                       pair_marginals_mc, means_mc, autocorrelations_mc,
+                       autocovariances_mc, draw_node_observations,
+                       simulate_queue_sis, continuous_sis_sampler)
 
 __version__ = "0.1.0"

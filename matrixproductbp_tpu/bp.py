@@ -41,11 +41,14 @@ from .ops.randomized import merge_rounded
 from .ops.stta import merge_stta, mpem3_stta
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
-__all__ = ["MPBP", "mpbp", "bp_sweep", "iterate", "beliefs", "beliefs_tu",
-           "pair_beliefs", "pair_beliefs_as_tt", "bethe_free_energy", "means", "autocorrelations",
-           "autocovariances", "pair_correlations", "alternate_marginals",
-           "logprob", "reset_messages", "reset_beliefs", "reset_observations",
-           "CB_BP"]
+__all__ = ["MPBP", "mpbp", "periodic_mpbp", "bp_sweep", "iterate", "beliefs",
+           "beliefs_tu", "pair_beliefs", "pair_beliefs_as_tt",
+           "pair_beliefs_as_mpem", "bethe_free_energy", "means",
+           "autocorrelations", "autocovariances", "pair_correlations",
+           "alternate_marginals", "alternate_correlations", "logprob",
+           "expectation", "reset", "reset_messages", "reset_beliefs",
+           "reset_observations", "is_periodic", "is_free_dynamics", "getT",
+           "getN", "nstates", "CB_BP"]
 
 
 class GraphArrays(NamedTuple):
@@ -594,6 +597,10 @@ def pair_beliefs_as_tt(bp: MPBP):
                          bp.msg_logz[rev], bp.psi)
 
 
+#: reference name for :func:`pair_beliefs_as_tt` (``mpbp.jl:208-216``)
+pair_beliefs_as_mpem = pair_beliefs_as_tt
+
+
 def pair_correlations(bp: MPBP, values: jax.Array | None = None) -> jax.Array:
     v = jnp.arange(bp.q, dtype=bp.phi.dtype) if values is None else values
     pb, _ = pair_beliefs(bp)
@@ -678,3 +685,69 @@ def reset_beliefs(bp: MPBP) -> MPBP:
 def reset_observations(bp: MPBP) -> MPBP:
     return dataclasses.replace(bp, phi=jnp.ones_like(bp.phi),
                                psi=jnp.ones_like(bp.psi))
+
+
+def reset(bp: MPBP, messages: bool = True, beliefs: bool = True,
+          observations: bool = False) -> MPBP:
+    """Combined reset (reference ``reset!``, ``mpbp.jl:97-102``)."""
+    if messages:
+        bp = reset_messages(bp)
+    if beliefs:
+        bp = reset_beliefs(bp)
+    if observations:
+        bp = reset_observations(bp)
+    return bp
+
+
+# ---------------------------------------------------------------------------
+# small accessors / conveniences (reference mpbp.jl:35-37, 105-114, 241-243,
+# 399-409)
+# ---------------------------------------------------------------------------
+
+def periodic_mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
+                  phi=None, psi=None, dtype=jnp.float64) -> MPBP:
+    """Trace-closed (periodic-in-time) state (reference ``periodic_mpbp``,
+    ``mpbp.jl:399-409``)."""
+    return mpbp(graph, tables, T, D, phi=phi, psi=psi, dtype=dtype,
+                periodic=True)
+
+
+def is_periodic(bp: MPBP) -> bool:
+    """Reference ``is_periodic`` (``mpbp.jl:113-114``)."""
+    return bp.periodic
+
+
+def is_free_dynamics(bp: MPBP) -> bool:
+    """True iff no reweighting: every phi_i^t (but t=0 for open trains) is
+    constant in x (reference ``is_free_dynamics``, ``mpbp.jl:105-111``)."""
+    phi = np.asarray(bp.phi)                    # [N, T1, q]
+    sl = phi if bp.periodic else phi[:, 1:]
+    return bool(np.all(sl == sl[..., :1]))
+
+
+def getT(bp: MPBP) -> int:
+    """Final time index T (trains have T+1 cores; ``mpbp.jl:35``)."""
+    return bp.T
+
+
+def getN(bp: MPBP) -> int:
+    return bp.N
+
+
+def nstates(bp: MPBP, i: int | None = None) -> int:
+    """Number of single-variable states q (reference ``nstates(bp, i)``,
+    ``mpbp.jl:37``; states here are homogeneous across nodes)."""
+    return bp.q
+
+
+def expectation(f, p):
+    """<f(x)> under a vector pmf, or <f(xi) f(xj)> under a matrix pmf
+    (reference ``expectation``, ``mpbp.jl:241-243``).  ``f`` is a callable on
+    the 0-indexed state, or an array of per-state values."""
+    p = np.asarray(p)
+    q = p.shape[-1]
+    v = np.asarray([f(x) for x in range(q)], dtype=p.dtype) \
+        if callable(f) else np.asarray(f, dtype=p.dtype)
+    if p.ndim == 2 and p.shape == (q, q):
+        return np.einsum("ij,i,j->", p, v, v)
+    return np.einsum("...i,i->...", p, v)

@@ -133,7 +133,7 @@ def marginals_mc(sms: SoftMarginSampler):
     m = np.zeros((N, T1, q))
     for a in range(q):
         m[:, :, a] = np.einsum("s,snt->nt", w, (sms.X == a).astype(float))
-    err = np.sqrt(m * (1 - m) / S)
+    err = np.sqrt(np.clip(m * (1 - m), 0.0, None) / S)
     return m, err
 
 
@@ -150,7 +150,7 @@ def pair_marginals_mc(sms: SoftMarginSampler):
         for b in range(q):
             m[:, :, a, b] = np.einsum(
                 "s,set->et", w, ((Xi == a) & (Xj == b)).astype(float))
-    err = np.sqrt(m * (1 - m) / S)
+    err = np.sqrt(np.clip(m * (1 - m), 0.0, None) / S)
     return m, err
 
 
