@@ -32,6 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .smallalg import spd_solve_unrolled
 from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
     normalize_eachmatrix
 
@@ -39,18 +40,19 @@ __all__ = ["merge_stta", "mpem3_stta"]
 
 
 def _solve_batched(M, N, eps):
-    """pinv(M) @ N via normal equations with one batched Cholesky.
+    """pinv(M) @ N via normal equations with an unrolled SPD solve.
 
-    M: [..., sl, sr]; N: [..., sl, k] -> [..., sr, k]."""
+    M: [..., sl, sr]; N: [..., sl, k] -> [..., sr, k].
+    Uses ``spd_solve_unrolled`` (ops/smallalg.py) rather than
+    ``lax.linalg.cholesky`` + triangular solves: at sr <= ~32 the stock
+    kernels carry a ~14-220 ms per-call latency floor on TPU that dominates
+    the sweep (CLAUDE.md)."""
     sr = M.shape[-1]
     G = jnp.einsum("...ij,...ik->...jk", M, M)
     tr = jnp.maximum(jnp.trace(G, axis1=-2, axis2=-1), 1e-30)
     Gj = G + (eps * tr / sr)[..., None, None] * jnp.eye(sr, dtype=M.dtype)
     rhs = jnp.einsum("...ij,...ik->...jk", M, N)
-    L = jnp.linalg.cholesky(Gj)
-    y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
-    return jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
-                                           transpose_a=True)
+    return spd_solve_unrolled(Gj, rhs)
 
 
 def _eps_for(dtype):
