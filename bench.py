@@ -1,17 +1,22 @@
-"""Benchmark: edge-message updates per second per chip.
+"""Benchmark: edge-message updates per second per chip, plus the BASELINE.md
+companion metrics, in ONE json line.
 
-North-star metric from BASELINE.json: edge-message updates/s/chip at bond
-dimension 10 (and 20), on an SIS Erdos-Renyi workload.  One full BP sweep
-updates every directed edge message once, so
+Fields (BASELINE.md "Targets for the new TPU framework"):
+  value                      edge-updates/s/chip at bond dim D=10
+  d20_edge_updates_per_s     same at D=20
+  belief_l1_vs_exact         max-abs belief error of the f32 TPU fast path vs
+                             the f64 exact-enumeration oracle (same SIS model
+                             on a small tree; CPU f64)
+  roofline                   measured per-chip utilization from the analytic
+                             FLOP model (utils/profiling.py)
+  vs_baseline                speedup over this same implementation on the host
+                             CPU (the reference publishes no absolute numbers;
+                             its execution model is CPU-bound Julia)
 
-    edge_updates_per_s = E * n_sweeps / elapsed.
-
-``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md), so
-we report speedup against this same implementation executed on the host CPU
-(single process) — the honest measurable stand-in for the reference's
-CPU-bound Julia execution model.
-
-Prints ONE json line.
+One full BP sweep updates every directed edge message once, so
+edge_updates_per_s = E * n_sweeps / elapsed.  Timing notes: data dependencies
+are chained and a device->host fetch forces synchronization through the TPU
+tunnel (see CLAUDE.md).
 """
 import json
 import os
@@ -26,7 +31,6 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-D_BENCH = 10
 N_NODES = 4096
 DEGREE = 3
 T_HORIZON = 15
@@ -34,7 +38,7 @@ SWEEPS = 3
 METHOD = "sketch"   # matmul-dominated STTA fast path
 
 
-def build(dtype):
+def build(dtype, D):
     import jax.numpy as jnp
     from matrixproductbp_tpu.graph import random_regular_graph
     from matrixproductbp_tpu.models import SIS, mpbp_sis
@@ -42,15 +46,15 @@ def build(dtype):
     rng = np.random.default_rng(0)
     g = random_regular_graph(N_NODES, DEGREE, rng)
     sis = SIS(g, lam=0.2, rho=0.1, T=T_HORIZON, gamma=0.3)
-    return mpbp_sis(sis, D=D_BENCH, dtype=dtype), g
+    return mpbp_sis(sis, D=D, dtype=dtype), g
 
 
-def timed_sweeps(bp, device, sweeps):
+def timed_sweeps(bp, device, sweeps, D):
     import jax.numpy as jnp
     import matrixproductbp_tpu as mp
 
     bp = jax.device_put(bp, device)
-    trunc = mp.TruncBond(D_BENCH)
+    trunc = mp.TruncBond(D)
     # compile + warmup; the final float() forces a real device->host fetch
     # (block_until_ready alone does not synchronize through the TPU tunnel)
     out = mp.bp_sweep(bp, trunc, method=METHOD)
@@ -63,32 +67,71 @@ def timed_sweeps(bp, device, sweeps):
     return (time.perf_counter() - t0) / sweeps
 
 
+def accuracy_line(accel):
+    """Belief L1 of the f32 TPU fast path vs the f64 enumeration oracle
+    (BASELINE.md: 'belief L1 error vs exact_prob')."""
+    import jax.numpy as jnp
+    import matrixproductbp_tpu as mp
+    from matrixproductbp_tpu import exact
+    from matrixproductbp_tpu.models import SIS, mpbp_sis
+
+    g = mp.graph_from_edges(4, [(0, 1), (0, 2), (2, 3)])
+    sis = SIS(g, lam=0.2, rho=0.1, T=3, gamma=0.3)
+    bp32 = jax.device_put(mpbp_sis(sis, D=10, dtype=jnp.float32), accel)
+    bp32, _, _ = mp.iterate(bp32, maxiter=10, trunc=mp.TruncBond(10), tol=0.0,
+                            method=METHOD)
+    b32 = np.asarray(mp.beliefs(bp32))
+
+    cpu = jax.devices("cpu")[0]
+    bp64 = jax.device_put(mpbp_sis(sis, D=16), cpu)
+    with jax.default_device(cpu):
+        p_ex, _ = exact.exact_prob(bp64)
+        b_ex = np.asarray(exact.exact_marginals(bp64, p_ex))
+    return float(np.abs(b32 - b_ex).max())
+
+
 def main():
     import jax.numpy as jnp
+    from matrixproductbp_tpu.utils.profiling import sweep_flops_estimate
 
     accel = jax.devices()[0]
     dtype = jnp.float32
-    bp, g = build(dtype)
-    dt_accel = timed_sweeps(bp, accel, SWEEPS)
-    eups = g.E / dt_accel
+
+    bp10, g = build(dtype, 10)
+    dt10 = timed_sweeps(bp10, accel, SWEEPS, 10)
+    eups10 = g.E / dt10
+    flops10 = sweep_flops_estimate(bp10, METHOD)
+    roof = {
+        "sweep_seconds_d10": round(dt10, 4),
+        "est_flops_per_sweep_d10": flops10,
+        "achieved_flops_per_s": round(flops10 / dt10, 1),
+        "v5e_f32_peak_utilization": round(flops10 / dt10 / 98e12, 6),
+    }
+
+    bp20, _ = build(dtype, 20)
+    dt20 = timed_sweeps(bp20, accel, SWEEPS, 20)
+    eups20 = g.E / dt20
+
+    l1 = accuracy_line(accel)
 
     # vs_baseline: speedup over this same implementation on the host CPU
-    # (the reference publishes no absolute numbers — BASELINE.md; its
-    # execution model is CPU-bound Julia, so host CPU is the honest proxy)
     vs = None
     try:
         cpus = jax.devices("cpu")
-        dt_cpu = timed_sweeps(bp, cpus[0], 1)
-        vs = dt_cpu / dt_accel
+        dt_cpu = timed_sweeps(bp10, cpus[0], 1, 10)
+        vs = dt_cpu / dt10
     except Exception:
         vs = None
 
     print(json.dumps({
         "metric": f"edge-message updates/s/chip (SIS {DEGREE}-regular "
-                  f"N={N_NODES} T={T_HORIZON} D={D_BENCH}, f32, {METHOD})",
-        "value": round(eups, 2),
+                  f"N={N_NODES} T={T_HORIZON} D=10, f32, {METHOD})",
+        "value": round(eups10, 2),
         "unit": "edge_updates/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "d20_edge_updates_per_s": round(eups20, 2),
+        "belief_l1_vs_exact": l1,
+        "roofline": roof,
     }))
 
 

@@ -26,7 +26,8 @@ from .factors import (RecursiveFactorTables, FactorSpec, TraceFactorSpec,
                       transition_probs)
 from .bp import (MPBP, mpbp, periodic_mpbp, bp_sweep, iterate, beliefs,
                  beliefs_tu, pair_beliefs, pair_beliefs_as_tt,
-                 pair_beliefs_as_mpem, bethe_free_energy, means,
+                 pair_beliefs_as_mpem, pair_lognorms, belief_lognorms,
+                 bethe_free_energy_pair, bethe_free_energy, means,
                  autocorrelations, autocovariances, pair_correlations,
                  alternate_marginals, alternate_correlations, logprob,
                  expectation, reset, reset_messages, reset_beliefs,
@@ -36,7 +37,8 @@ from .observations import (pair_observations_directed,
                            pair_observations_nondirected,
                            pair_obs_undirected_to_directed)
 from .infinite import (infinite_regular_graph, infinite_bipartite_graph,
-                       mpbp_infinite_graph, mpbp_infinite_bipartite_graph,
+                       mpbp_infinite_graph, periodic_mpbp_infinite_graph,
+                       mpbp_infinite_bipartite_graph,
                        bethe_free_energy_infinite_bipartite)
 from .stationary import (TruncVUMPS, UniformMessage, mpbp_stationary,
                          mpbp_stationary_infinite_graph,

@@ -38,12 +38,14 @@ from .ops.tensortrain import (
 )
 from .ops.mpem import mpem3_to_mpem2, mpem3_to_mpem2_periodic
 from .ops.randomized import merge_rounded
+from .ops.sumy import y_expand
 from .ops.stta import merge_stta, mpem3_stta
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
 __all__ = ["MPBP", "mpbp", "periodic_mpbp", "bp_sweep", "iterate", "beliefs",
            "beliefs_tu", "pair_beliefs", "pair_beliefs_as_tt",
-           "pair_beliefs_as_mpem", "bethe_free_energy", "means",
+           "pair_beliefs_as_mpem", "pair_lognorms", "belief_lognorms",
+           "bethe_free_energy_pair", "bethe_free_energy", "means",
            "autocorrelations", "autocovariances", "pair_correlations",
            "alternate_marginals", "alternate_correlations", "logprob",
            "expectation", "reset", "reset_messages", "reset_beliefs",
@@ -154,22 +156,30 @@ def _check_psi_symmetry(graph: Graph, psi):
 # ---------------------------------------------------------------------------
 
 def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int,
-           periodic: bool = False, method: str = "qr", key=None):
+           periodic: bool = False, method: str = "qr", key=None,
+           yy_off: int | None = None):
     """op: combine two cavity trains (phys (Y, q)) — Hadamard on x_i,
     ``prob_yy`` contraction on y, Kronecker on bonds, then truncate.
 
     Mirrors ``op`` in ``compute_prob_ys`` (``recursive_bp_factor.jl:117-131``).
     Lc: [T1, DL, DL, Y*q], Rc: [T1, DR, DR, Y*q] -> [T1, Dout, Dout, Y*q].
+    ``yy_off`` selects the banded sum-type y-merge (``ops/sumy.py``): pyy is
+    then a placeholder and is never read.
     """
     if method == "randomized" and not periodic:
-        return merge_rounded(Lc, Llz, Rc, Rlz, pyy, trunc, Dout, Y, q, key)
+        return merge_rounded(Lc, Llz, Rc, Rlz, pyy, trunc, Dout, Y, q, key,
+                             yy_off=yy_off)
     if method == "sketch" and not periodic:
-        return merge_stta(Lc, Llz, Rc, Rlz, pyy, Dout, Y, q, key)
+        return merge_stta(Lc, Llz, Rc, Rlz, pyy, Dout, Y, q, key,
+                          yy_off=yy_off)
     T1, DL = Lc.shape[0], Lc.shape[1]
     DR = Rc.shape[1]
     L = Lc.reshape(T1, DL, DL, Y, q)
     R = Rc.reshape(T1, DR, DR, Y, q)
-    if pyy.ndim == 5:  # time-varying tables: pyy [T1, Y, Y, Y, q]
+    if yy_off is not None:
+        # banded merge: tmp[t,m,n,y,b,x] = L[t,m,n,y+off-b,x]
+        tmp = y_expand(L, yy_off, axis=3, mode="diff")
+    elif pyy.ndim == 5:  # time-varying tables: pyy [T1, Y, Y, Y, q]
         tmp = jnp.einsum("tyabx,tmnax->tmnybx", pyy, L)
     else:
         tmp = jnp.einsum("yabx,tmnax->tmnybx", pyy, L)   # [T1,DL,DL,Y,Y,q]
@@ -181,13 +191,18 @@ def _merge(Lc, Llz, Rc, Rlz, pyy, trunc: SVDTrunc, Dout: int, Y: int, q: int,
     return tt.cores, tt.logz
 
 
-def _embed_first(Bc, Blz, pyy0, py0):
+def _embed_first(Bc, Blz, pyy0, py0, yy_off: int | None = None):
     """Shortcut op(init, B): pure y-relabeling, no bond growth.
     out[y, x] = sum_{a,b} pyy0[y, a, b, x] * py0[a, x] * B[b, x]."""
     T1, Dm = Bc.shape[0], Bc.shape[1]
     Y, q = py0.shape[-2], py0.shape[-1]
     B = Bc.reshape(T1, Dm, Dm, Y, q)
-    if pyy0.ndim == 5:  # time-varying: pyy0 [T1,Y,Y,Y,q], py0 [T1,Y,q]
+    if yy_off is not None:
+        # W[y, b, x] = py0[y + off - b, x]
+        W = y_expand(py0, yy_off, axis=py0.ndim - 2, mode="diff")
+        out = (jnp.einsum("tybx,tmnbx->tmnyx", W, B) if py0.ndim == 3
+               else jnp.einsum("ybx,tmnbx->tmnyx", W, B))
+    elif pyy0.ndim == 5:  # time-varying: pyy0 [T1,Y,Y,Y,q], py0 [T1,Y,q]
         W = jnp.einsum("tyabx,tax->tybx", pyy0, py0)
         out = jnp.einsum("tybx,tmnbx->tmnyx", W, B)
     else:
@@ -196,12 +211,17 @@ def _embed_first(Bc, Blz, pyy0, py0):
     return out.reshape(T1, Dm, Dm, Y * q), Blz
 
 
-def _embed_second(Bc, Blz, pyy1, py0):
+def _embed_second(Bc, Blz, pyy1, py0, yy_off: int | None = None):
     """Shortcut op(B, init): out[y,x] = sum_{a,b} pyy1[y,a,b,x] B[a,x] py0[b,x]."""
     T1, Dm = Bc.shape[0], Bc.shape[1]
     Y, q = py0.shape[-2], py0.shape[-1]
     B = Bc.reshape(T1, Dm, Dm, Y, q)
-    if pyy1.ndim == 5:
+    if yy_off is not None:
+        # W[y, a, x] = py0[y + off - a, x] (same banded slab as op(init, B))
+        W = y_expand(py0, yy_off, axis=py0.ndim - 2, mode="diff")
+        out = (jnp.einsum("tyax,tmnax->tmnyx", W, B) if py0.ndim == 3
+               else jnp.einsum("yax,tmnax->tmnyx", W, B))
+    elif pyy1.ndim == 5:
         W = jnp.einsum("tyabx,tbx->tyax", pyy1, py0)
         out = jnp.einsum("tyax,tmnax->tmnyx", W, B)
     else:
@@ -247,7 +267,8 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
                  psi_out, mask, Py_i, Pyp_i, Pxy_i, Py0_i, phi_i, deg_i,
                  pyy_stack, trunc: SVDTrunc, trunc_cav: SVDTrunc, Dm: int,
                  Dc: int, damp: float, periodic: bool = False,
-                 method: str = "qr", key=None):
+                 method: str = "qr", key=None, yy_off: int | None = None,
+                 direct_k3: bool = True):
     """Update all outgoing messages + the belief of one node.
 
     Mirrors ``onebpiter!`` for RecursiveBPFactor
@@ -286,65 +307,98 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
         from .ops.tensortrain import _fit_axis
         return _fit_axis(_fit_axis(c, 1, Dc), 2, Dc)
 
-    # ---- prefix folds L_k = fold(B_0..B_{k-1}) (lax.scan over slots) ------
-    L1c, L1lz = _embed_first(B[0], Blz[0], pyy_at(0), Py0_i)
-    L1c = pad_dc(L1c)
-
-    def pstep(carry, xs):
-        Lc, Llz = carry
-        Bk, Bklz, pyy_k = xs
-        out = _merge(Lc, Llz, Bk, Bklz, pyy_k, trunc_cav, Dc, Y, q, periodic,
-                     method, key)
-        return out, out
-
-    if K > 1:
-        pyy_pref = jnp.stack([pyy_at(k) for k in range(1, K)])
-        (full_c, full_lz), (Lst_c, Lst_lz) = jax.lax.scan(
-            pstep, (L1c, L1lz), (B[1:], Blz[1:], pyy_pref))
-        # Lst[j] = L_{j+2}
-    else:
-        full_c, full_lz = L1c, L1lz
-
-    # ---- suffix folds R_k = fold(B_k..B_{K-1}) (reverse scan) -------------
-    if K > 1:
-        RKm1c, RKm1lz = _embed_second(B[K - 1], Blz[K - 1], pyy_at(1), Py0_i)
-        RKm1c = pad_dc(RKm1c)
-
-        def sstep(carry, xs):
-            Rc, Rlz = carry
-            Bk, Bklz = xs
-            out = _merge(Bk, Bklz, Rc, Rlz, pyy_at(1), trunc_cav, Dc, Y, q,
-                         periodic, method, key)
-            return out, out
-
-        (_, _), (Rst_c, Rst_lz) = jax.lax.scan(
-            sstep, (RKm1c, RKm1lz), (B[1:K - 1], Blz[1:K - 1]), reverse=True)
-        # Rst[j] = R_{j+1} for j = 0..K-3 (i.e. R_1..R_{K-2})
-
-    # ---- cavity C_k = op(L_k, R_{k+1}), vmapped over interior slots -------
-    if K == 1:
-        # all-but-one of a single slot = the bare init element
-        Cs_c = pad_dc(ident.reshape(T1, Dm, Dm, Y * q))[None]
-        Cs_lz = jnp.zeros((1,), dtype)
-    elif K == 2:
-        Cs_c = jnp.stack([RKm1c, L1c])
-        Cs_lz = jnp.stack([RKm1lz, L1lz])
-    else:
-        # L_k for k = 1..K-2 paired with R_{k+1} for k = 1..K-2
-        Lcav_c = jnp.concatenate([L1c[None], Lst_c[:K - 3]], axis=0)
-        Lcav_lz = jnp.concatenate([L1lz[None], Lst_lz[:K - 3]], axis=0)
-        Rcav_c = jnp.concatenate([Rst_c[1:], RKm1c[None]], axis=0)
-        Rcav_lz = jnp.concatenate([Rst_lz[1:], RKm1lz[None]], axis=0)
-        pyy_cav = jnp.stack([pyy_at(k) for k in range(1, K - 1)])
-        Cmid_c, Cmid_lz = jax.vmap(
+    if K == 3 and direct_k3:
+        # ---- direct all-pairs cavity: 2 sequential merge LEVELS instead of
+        # 4.  Measured on TPU, per-merge wall time is dominated by the
+        # latency of the dependent per-timestep op chain and is nearly
+        # batch-size independent (PERF.md), so batching the three pair
+        # merges into one vmapped level halves the sweep's critical path.
+        # Exact: op is associative with the prob_y0 one-hot as identity, and
+        # slot order (hence the d1 index of prob_yy) is preserved.
+        # level 1: C0 = op(B1, B2) and C2 = op(B0, B1)   (batch 2)
+        # level 2: C1 = op(B0, B2) and full = op(C2, B2)  (batch 2)
+        # (balanced 2+2 rather than 3+1 keeps the peak working set lower)
+        mergev = jax.vmap(
             lambda lc, llz, rc, rlz, pk: _merge(
                 lc, llz, rc, rlz, pk, trunc_cav, Dc, Y, q, periodic,
-                method, key)
-        )(Lcav_c, Lcav_lz, Rcav_c, Rcav_lz, pyy_cav)
-        Cs_c = jnp.concatenate(
-            [Rst_c[0][None], Cmid_c, Lst_c[K - 3][None]], axis=0)
-        Cs_lz = jnp.concatenate(
-            [Rst_lz[0][None], Cmid_lz, Lst_lz[K - 3][None]], axis=0)
+                method, key, yy_off))
+        P1c, P1lz = mergev(
+            jnp.stack([B[1], B[0]]), jnp.stack([Blz[1], Blz[0]]),
+            jnp.stack([B[2], B[1]]), jnp.stack([Blz[2], Blz[1]]),
+            jnp.stack([pyy_at(1)] * 2))
+        from .ops.tensortrain import _fit_axis as _fx
+        B0d = _fx(_fx(B[0], 1, Dc), 2, Dc)
+        P2c, P2lz = mergev(
+            jnp.stack([B0d, P1c[1]]), jnp.stack([Blz[0], P1lz[1]]),
+            jnp.stack([_fx(_fx(B[2], 1, Dc), 2, Dc), _fx(_fx(B[2], 1, Dc),
+                                                         2, Dc)]),
+            jnp.stack([Blz[2], Blz[2]]),
+            jnp.stack([pyy_at(1), pyy_at(2)]))
+        Cs_c = jnp.stack([P1c[0], P2c[0], P1c[1]])
+        Cs_lz = jnp.stack([P1lz[0], P2lz[0], P1lz[1]])
+        full_c, full_lz = P2c[1], P2lz[1]
+    else:
+        # ---- prefix folds L_k = fold(B_0..B_{k-1}) (lax.scan over slots) --
+        L1c, L1lz = _embed_first(B[0], Blz[0], pyy_at(0), Py0_i, yy_off)
+        L1c = pad_dc(L1c)
+
+        def pstep(carry, xs):
+            Lc, Llz = carry
+            Bk, Bklz, pyy_k = xs
+            out = _merge(Lc, Llz, Bk, Bklz, pyy_k, trunc_cav, Dc, Y, q,
+                         periodic, method, key, yy_off)
+            return out, out
+
+        if K > 1:
+            pyy_pref = jnp.stack([pyy_at(k) for k in range(1, K)])
+            (full_c, full_lz), (Lst_c, Lst_lz) = jax.lax.scan(
+                pstep, (L1c, L1lz), (B[1:], Blz[1:], pyy_pref))
+            # Lst[j] = L_{j+2}
+        else:
+            full_c, full_lz = L1c, L1lz
+
+        # ---- suffix folds R_k = fold(B_k..B_{K-1}) (reverse scan) ---------
+        if K > 1:
+            RKm1c, RKm1lz = _embed_second(B[K - 1], Blz[K - 1], pyy_at(1),
+                                          Py0_i, yy_off)
+            RKm1c = pad_dc(RKm1c)
+
+            def sstep(carry, xs):
+                Rc, Rlz = carry
+                Bk, Bklz = xs
+                out = _merge(Bk, Bklz, Rc, Rlz, pyy_at(1), trunc_cav, Dc, Y,
+                             q, periodic, method, key, yy_off)
+                return out, out
+
+            (_, _), (Rst_c, Rst_lz) = jax.lax.scan(
+                sstep, (RKm1c, RKm1lz), (B[1:K - 1], Blz[1:K - 1]),
+                reverse=True)
+            # Rst[j] = R_{j+1} for j = 0..K-3 (i.e. R_1..R_{K-2})
+
+        # ---- cavity C_k = op(L_k, R_{k+1}), vmapped over interior slots ---
+        if K == 1:
+            # all-but-one of a single slot = the bare init element
+            Cs_c = pad_dc(ident.reshape(T1, Dm, Dm, Y * q))[None]
+            Cs_lz = jnp.zeros((1,), dtype)
+        elif K == 2:
+            Cs_c = jnp.stack([RKm1c, L1c])
+            Cs_lz = jnp.stack([RKm1lz, L1lz])
+        else:
+            # L_k for k = 1..K-2 paired with R_{k+1} for k = 1..K-2
+            Lcav_c = jnp.concatenate([L1c[None], Lst_c[:K - 3]], axis=0)
+            Lcav_lz = jnp.concatenate([L1lz[None], Lst_lz[:K - 3]], axis=0)
+            Rcav_c = jnp.concatenate([Rst_c[1:], RKm1c[None]], axis=0)
+            Rcav_lz = jnp.concatenate([Rst_lz[1:], RKm1lz[None]], axis=0)
+            pyy_cav = jnp.stack([pyy_at(k) for k in range(1, K - 1)])
+            Cmid_c, Cmid_lz = jax.vmap(
+                lambda lc, llz, rc, rlz, pk: _merge(
+                    lc, llz, rc, rlz, pk, trunc_cav, Dc, Y, q, periodic,
+                    method, key, yy_off)
+            )(Lcav_c, Lcav_lz, Rcav_c, Rcav_lz, pyy_cav)
+            Cs_c = jnp.concatenate(
+                [Rst_c[0][None], Cmid_c, Lst_c[K - 3][None]], axis=0)
+            Cs_lz = jnp.concatenate(
+                [Rst_lz[0][None], Cmid_lz, Lst_lz[K - 3][None]], axis=0)
 
     # ---- outgoing messages (f_bp_partial_ij -> mpem2 -> compress ->
     #      normalize -> damping), vmapped over slots
@@ -392,6 +446,33 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     return out_cores, out_lz, bel1.cores, bel1.logz, f_i
 
 
+def _degree_buckets(graph: Graph):
+    """Static degree buckets for the sweep: [(node_idx, K_b)] with K_b the
+    slot padding of the bucket.
+
+    Padding every node to the global dmax makes the sweep cost N*dmax instead
+    of sum(d_i) — on heavy-tailed graphs (ER, stars) that is the dominant
+    waste (one hub inflates *every* node).  Buckets are exact: a node only
+    ever merges its own (masked) slots.  Few distinct degrees -> one bucket
+    per degree; many -> power-of-two padding to bound compilation count.
+    """
+    degs = np.asarray(graph.degree)
+    distinct = np.unique(np.maximum(degs, 1))
+    if len(distinct) <= 4:
+        bounds = [int(b) for b in distinct]
+    else:
+        bounds = sorted({1 << int(np.ceil(np.log2(b))) for b in distinct})
+    buckets = []
+    lo = 0
+    for b in bounds:
+        idx = np.nonzero((np.maximum(degs, 1) > lo)
+                         & (np.maximum(degs, 1) <= b))[0]
+        if len(idx):
+            buckets.append((idx, int(b)))
+        lo = b
+    return buckets
+
+
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp",
                                    "method"))
 def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
@@ -400,7 +481,9 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     """One synchronous (Jacobi) BP sweep over all nodes.
 
     Replaces the reference's threaded asynchronous loop (``iterate!``,
-    ``mpbp.jl:185-198``); convergence is checked by the caller.
+    ``mpbp.jl:185-198``); convergence is checked by the caller.  Nodes are
+    processed in degree buckets so per-node cost tracks d_i (and the y-axis
+    is cropped per bucket via ``tables.ydims``), exactly.
     """
     trunc_cav = trunc if trunc_cav is None else trunc_cav
     Dm = bp.D
@@ -408,49 +491,93 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     ga = bp.garrays
     N, K = ga.in_edges.shape
     q = bp.q
-
-    msgs_in_c = bp.msg_cores[ga.in_edges]        # [N, K, T1, Dm, Dm, qq]
-    msgs_in_lz = bp.msg_logz[ga.in_edges]
-    out_idx = jnp.minimum(ga.out_edges, bp.graph.E - 1)
-    msgs_out_old_c = bp.msg_cores[out_idx]
-    msgs_out_old_lz = bp.msg_logz[out_idx]
-    psi_out = bp.psi[out_idx]                    # [N, K, T1, q, q] legs (xi, xk)
+    tb = bp.tables
+    tv = tb.time_varying
+    yy_off = tb.yy_off
+    Yg = tb.Y
 
     key = jax.random.PRNGKey(17)  # deterministic sketch seed
 
-    def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg,
-                pyy):
-        return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy,
-                            py0, ph, dg, pyy, trunc, trunc_cav,
-                            Dm, Dcav, damp, bp.periodic, method, key)
+    new_cores, new_lz = bp.msg_cores, bp.msg_logz
+    bel_c_all, bel_lz_all = bp.bel_cores, bp.bel_logz
+    f_all = bp.f
 
-    tb = bp.tables
+    for idx, Kb in _degree_buckets(bp.graph):
+        nb = jnp.asarray(idx)
+        Nb = len(idx)
+        if tb.ydims is not None:
+            Yb = max(1, min(Yg, tb.ydims[min(Kb, len(tb.ydims) - 1)]))
+            if yy_off is not None:
+                Yb = max(Yb, yy_off + 1)   # the init element y0 = off
+        else:
+            Yb = Yg
 
-    def prep(tbl):  # node-broadcast tables (size-1 leading axis) are unmapped
-        return (tbl, 0) if tbl.shape[0] == N else (tbl[0], None)
+        in_e = ga.in_edges[nb][:, :Kb]
+        in_m = ga.in_mask[nb][:, :Kb]
+        out_e = ga.out_edges[nb][:, :Kb]
+        out_idx = jnp.minimum(out_e, bp.graph.E - 1)
 
-    py, ax_py = prep(tb.Py)
-    pyp, ax_pyp = prep(tb.Pyp)
-    pxy, ax_pxy = prep(tb.Pxy)
-    py0, ax_py0 = prep(tb.Py0)
-    pyy, ax_pyy = prep(tb.Pyy)
-    out_c, out_lz, bel_c, bel_lz, f = jax.vmap(
-        node_fn,
-        in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0,
-                 ax_pyy),
-    )(
-        msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
-        ga.in_mask, py, pyp, pxy, py0, bp.phi, ga.degree, pyy,
-    )
+        msgs_in_c = bp.msg_cores[in_e]           # [Nb, Kb, T1, Dm, Dm, qq]
+        msgs_in_lz = bp.msg_logz[in_e]
+        msgs_out_old_c = bp.msg_cores[out_idx]
+        msgs_out_old_lz = bp.msg_logz[out_idx]
+        psi_out = bp.psi[out_idx]                # [Nb, Kb, T1, q, q]
 
-    # scatter new messages; padded slots carry out-edge id E -> dropped
-    flat_idx = ga.out_edges.reshape(-1)
-    new_cores = bp.msg_cores.at[flat_idx].set(
-        out_c.reshape((N * K,) + out_c.shape[2:]), mode="drop")
-    new_lz = bp.msg_logz.at[flat_idx].set(out_lz.reshape(-1), mode="drop")
+        def nsel(t):
+            return t if t.shape[0] == 1 else t[nb]
+
+        # exact per-bucket table crops (padded y entries carry zero
+        # probability; a bucket only reaches y < ydims[Kb])
+        Py_b = nsel(tb.Py)[..., :Yb]
+        Pyp_b = nsel(tb.Pyp)[:, :Kb][..., :Yb]
+        Pxy_b = nsel(tb.Pxy)[:, :Kb][..., :Yb, :, :]
+        Py0_b = nsel(tb.Py0)[..., :Yb, :]
+        if yy_off is None:
+            Pyy_b = nsel(tb.Pyy)[:, :min(Kb, tb.Pyy.shape[1])]
+            Pyy_b = Pyy_b[..., :Yb, :Yb, :Yb, :]
+        else:
+            Pyy_b = nsel(tb.Pyy)                 # placeholder, never read
+
+        # the direct all-pairs cavity (2 merge levels) triples the merge
+        # batch; above ~4k nodes per bucket its working set exceeds one
+        # chip's HBM, so large buckets take the prefix/suffix scheme
+        direct_k3 = Nb <= 4096
+
+        def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph,
+                    dg, pyy):
+            return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp,
+                                pxy, py0, ph, dg, pyy, trunc, trunc_cav,
+                                Dm, Dcav, damp, bp.periodic, method, key,
+                                yy_off, direct_k3)
+
+        def prep(tbl):  # broadcast tables (size-1 leading axis) are unmapped
+            return (tbl, 0) if tbl.shape[0] == Nb else (tbl[0], None)
+
+        py, ax_py = prep(Py_b)
+        pyp, ax_pyp = prep(Pyp_b)
+        pxy, ax_pxy = prep(Pxy_b)
+        py0, ax_py0 = prep(Py0_b)
+        pyy, ax_pyy = prep(Pyy_b)
+        out_c, out_lz, bel_c, bel_lz, f = jax.vmap(
+            node_fn,
+            in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0,
+                     ax_pyy),
+        )(
+            msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
+            in_m, py, pyp, pxy, py0, bp.phi[nb], ga.degree[nb], pyy,
+        )
+
+        # scatter new messages; padded slots carry out-edge id E -> dropped
+        flat_idx = out_e.reshape(-1)
+        new_cores = new_cores.at[flat_idx].set(
+            out_c.reshape((Nb * Kb,) + out_c.shape[2:]), mode="drop")
+        new_lz = new_lz.at[flat_idx].set(out_lz.reshape(-1), mode="drop")
+        bel_c_all = bel_c_all.at[nb].set(bel_c)
+        bel_lz_all = bel_lz_all.at[nb].set(bel_lz)
+        f_all = f_all.at[nb].set(f)
 
     return MPBP(bp.tables, bp.phi, bp.psi, new_cores, new_lz,
-                bel_c, bel_lz, f, ga, bp.graph)
+                bel_c_all, bel_lz_all, f_all, ga, bp.graph)
 
 
 # ---------------------------------------------------------------------------
@@ -574,9 +701,136 @@ def pair_beliefs(bp: MPBP):
     # node logz: sum over incident edges (1/d_j - 1/2) log z_ij  (mpbp.jl:230)
     dst = jnp.asarray(bp.graph.edge_dst)
     deg = bp.garrays.degree.astype(marg.dtype)
-    w = 1.0 / jnp.maximum(deg[dst], 1) - 0.5
+    if bp.graph.infinite:
+        # infinite-graph specialization: one stored edge stands for all k
+        # incidences, weight 1/(k-1) - 1/2 (infinite_graph.jl:38-44,107-115)
+        w = 1.0 / jnp.maximum(deg[dst] - 1, 1) - 0.5
+    else:
+        w = 1.0 / jnp.maximum(deg[dst], 1) - 0.5
     logz_nodes = jnp.zeros((bp.N,), marg.dtype).at[dst].add(w * lg)
     return marg, logz_nodes
+
+
+def pair_lognorms(bp: MPBP) -> jax.Array:
+    """log normalization of every directed-edge pair belief,
+    log ẑ_ij = log sum_{x_i, x_j} mu_ij mu_ji psi_ij   [E].
+
+    The per-edge quantity whose (1/d_j - 1/2)-weighted node assembly
+    ``pair_beliefs`` returns (``mpbp.jl:218-235``)."""
+    q = bp.q
+    rev = jnp.asarray(bp.graph.rev_edge)
+
+    def one(cij, zij, cji, zji, psi_e):
+        A = cij.reshape(cij.shape[0], bp.D, bp.D, q, q)
+        Bt = cji.reshape(cij.shape[0], bp.D, bp.D, q, q)
+        M = jnp.einsum("tabij,tcdji,tij->tacbdij", A, Bt, psi_e)
+        cores = M.reshape(M.shape[0], bp.D * bp.D, bp.D * bp.D, q * q)
+        lg, _ = lognorm(TensorTrain(cores, zij + zji, (q, q), bp.periodic))
+        return lg
+
+    return jax.vmap(one)(bp.msg_cores, bp.msg_logz, bp.msg_cores[rev],
+                         bp.msg_logz[rev], bp.psi)
+
+
+@partial(jax.jit, static_argnames=("trunc", "Dcav", "method"))
+def belief_lognorms(bp: MPBP, trunc: SVDTrunc | None = None,
+                    Dcav: int | None = None, method: str = "qr") -> jax.Array:
+    """log ẑ_i: normalization of each node's belief *rebuilt from the stored
+    (normalized) messages* — the reference's
+    ``logzᵢ = log(normalization(bp.b[i]))`` (``mpbp.jl:135``) recomputed
+    without mutating state.  [N]."""
+    trunc = TruncThresh(0.0) if trunc is None else trunc
+    Dm = bp.D
+    Dc = Dm if Dcav is None else Dcav
+    ga = bp.garrays
+    N, K = ga.in_edges.shape
+    q = bp.q
+    out_idx = jnp.minimum(ga.out_edges, bp.graph.E - 1)
+    psi_out = bp.psi[out_idx]
+    key = jax.random.PRNGKey(17)
+
+    def node_fn(mi_c, mi_lz, ps, mk, py, pxy, py0, ph, pyy):
+        T1 = mi_c.shape[1]
+        Y = py0.shape[-2]
+        dtype = mi_c.dtype
+        A = mi_c.reshape(K, T1, Dm, Dm, q, q)
+        if pxy.ndim == 5:
+            B = jnp.einsum("ktyci,ktic,ktmnci->ktmnyi", pxy, ps, A)
+        else:
+            B = jnp.einsum("kyci,ktic,ktmnci->ktmnyi", pxy, ps, A)
+        ident = jnp.zeros((T1, Dm, Dm, Y, q), dtype)
+        ident = ident.at[:, 0, 0].set(jnp.broadcast_to(py0, (T1, Y, q)))
+        B = jnp.where(mk[:, None, None, None, None, None], B, ident[None])
+        B = B.reshape(K, T1, Dm, Dm, Y * q)
+        Blz = jnp.where(mk, mi_lz, 0.0)
+
+        nYY = pyy.shape[0]
+        yy_off = bp.tables.yy_off
+        Lc, Llz = _embed_first(B[0], Blz[0], pyy[0], py0, yy_off)
+        from .ops.tensortrain import _fit_axis
+        Lc = _fit_axis(_fit_axis(Lc, 1, Dc), 2, Dc)
+
+        def pstep(carry, xs):
+            Lc, Llz = carry
+            Bk, Bklz, pyy_k = xs
+            out = _merge(Lc, Llz, Bk, Bklz, pyy_k, trunc, Dc, Y, q,
+                         bp.periodic, method, key, yy_off)
+            return out, None
+
+        if K > 1:
+            pyy_pref = jnp.stack(
+                [pyy[min(k, nYY - 1)] for k in range(1, K)])
+            (Lc, Llz), _ = jax.lax.scan(pstep, (Lc, Llz),
+                                        (B[1:], Blz[1:], pyy_pref))
+
+        Wb = py[..., None, :]
+        B3b, B3blz = _f_bp_partial(Lc, Llz, Wb, ph, 1, bp.periodic)
+        B3b = B3b.reshape(T1, B3b.shape[1], B3b.shape[2], q, 1, q)
+        bel2 = (mpem3_to_mpem2_periodic(B3b, B3blz) if bp.periodic
+                else mpem3_to_mpem2(B3b, B3blz))
+        lg, _ = lognorm(bel2)
+        return lg
+
+    tb = bp.tables
+
+    def prep(tbl):
+        return (tbl, 0) if tbl.shape[0] == N else (tbl[0], None)
+
+    py, ax_py = prep(tb.Py)
+    pxy, ax_pxy = prep(tb.Pxy)
+    py0, ax_py0 = prep(tb.Py0)
+    pyy, ax_pyy = prep(tb.Pyy)
+    return jax.vmap(
+        node_fn, in_axes=(0, 0, 0, 0, ax_py, ax_pxy, ax_py0, 0, ax_pyy)
+    )(bp.msg_cores[ga.in_edges], bp.msg_logz[ga.in_edges], psi_out,
+      ga.in_mask, py, pxy, py0, bp.phi, pyy)
+
+
+def bethe_free_energy_pair(bp: MPBP, trunc: SVDTrunc | None = None,
+                           Dcav: int | None = None) -> jax.Array:
+    """Bethe free energy assembled through the *pair route*:
+
+        F = sum_i [ -log ẑ_i + 1/2 sum_{j in ∂i} log ẑ_ij ]
+
+    with ẑ_i the belief normalizations (:func:`belief_lognorms`) and ẑ_ij the
+    pair normalizations (:func:`pair_lognorms`).  At a BP fixed point this is
+    the textbook Bethe identity and equals :func:`bethe_free_energy` (whose
+    ledger accumulates ``f_i = (d_i/2-1) log ẑ_i - 1/2 Σ_j log z_{i→j}``
+    during the sweep, ``mpbp.jl:136``; the two agree because
+    ``ẑ_ij = ẑ_i / z_{i→j}`` at the fixed point).
+
+    Works on finite and symmetry-collapsed infinite graphs alike: the
+    half-sum over incident edges rides the ``in_edges`` aliasing, so on an
+    infinite k-regular graph the single stored edge is counted k times
+    (matching the per-node free energy ``infinite_graph.jl:38-44``).
+    """
+    lz_i = belief_lognorms(bp, trunc=trunc, Dcav=Dcav)
+    lz_e = pair_lognorms(bp)                           # [E]
+    ga = bp.garrays
+    lz_pad = jnp.concatenate([lz_e, jnp.zeros((1,), lz_e.dtype)])
+    half = 0.5 * jnp.sum(
+        jnp.where(ga.in_mask, lz_pad[ga.in_edges], 0.0), axis=1)
+    return jnp.sum(-lz_i + half)
 
 
 def pair_beliefs_as_tt(bp: MPBP):

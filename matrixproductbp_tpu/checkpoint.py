@@ -66,6 +66,10 @@ def save_checkpoint(path: str, bp: MPBP, step: int = 0, extra: dict | None = Non
         "graph.N": int(bp.graph.N),
         "graph.E": int(bp.graph.E),
         "graph.dmax": int(bp.graph.dmax),
+        "graph.infinite": bool(bp.graph.infinite),
+        "tables.yy_off": bp.tables.yy_off,
+        "tables.ydims": (list(bp.tables.ydims)
+                         if bp.tables.ydims is not None else None),
         "extra": extra or {},
     }
     arrays["meta"] = np.frombuffer(
@@ -94,9 +98,13 @@ def load_checkpoint(path: str, device=None):
                 f"unsupported checkpoint format {meta.get('format_version')}")
         graph = Graph(
             meta["graph.N"], meta["graph.E"], meta["graph.dmax"],
-            *(z["graph." + n] for n in _GRAPH_LEAVES))
+            *(z["graph." + n] for n in _GRAPH_LEAVES),
+            infinite=meta.get("graph.infinite", False))
+        ydims = meta.get("tables.ydims")
         tables = RecursiveFactorTables(
-            *(jnp.asarray(z["tables." + n]) for n in _TABLE_LEAVES))
+            *(jnp.asarray(z["tables." + n]) for n in _TABLE_LEAVES),
+            meta.get("tables.yy_off"),
+            tuple(ydims) if ydims is not None else None)
         state = {n: jnp.asarray(z["state." + n]) for n in _STATE_LEAVES}
     ga = GraphArrays(
         jnp.asarray(graph.in_edges), jnp.asarray(graph.out_edges),

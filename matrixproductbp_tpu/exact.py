@@ -46,10 +46,6 @@ def exact_prob(bp: MPBP):
     phi = np.asarray(bp.phi)
     psi = np.asarray(bp.psi)
 
-    logp = np.log(phi[np.arange(N)[None, :], 0, X[:, :, 0]]).sum(axis=1)
-    for t in range(1, T1):
-        logp += np.log(phi[np.arange(N)[None, :], t, X[:, :, t]]).sum(axis=1)
-
     import jax
     nbr = np.minimum(g.nbr, g.N - 1)
     mask = jnp.asarray(g.in_mask)
@@ -59,28 +55,38 @@ def exact_prob(bp: MPBP):
         return jax.jit(jax.vmap(
             lambda a, b: transition_probs(tb, mask, a, b)))(xn, xt)
 
-    for t in range(T1 - 1):
-        xt = X[:, :, t]
-        xn = xt[:, nbr]                               # [Q, N, K]
-        p = np.asarray(pfun(t, jnp.asarray(xn), jnp.asarray(xt)))  # [Q, N, q]
-        logp += np.log(
-            p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, t + 1]]
-        ).sum(axis=1)
-    if bp.periodic:
-        # time-periodic wrap: transition from t = T back to t = 0 with the
-        # last factor w[i][end] (reference exact.jl:24-26)
-        xt = X[:, :, T1 - 1]
-        xn = xt[:, nbr]
-        p = np.asarray(pfun(T1 - 1, jnp.asarray(xn), jnp.asarray(xt)))
-        logp += np.log(
-            p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, 0]]
-        ).sum(axis=1)
+    # hard (zero-probability) observations legitimately produce log(0) = -inf
+    # trajectory weights; silence the divide warning deliberately
+    # (semantics asserted in tests/test_sampling_and_observations.py)
+    with np.errstate(divide="ignore"):
+        logp = np.log(phi[np.arange(N)[None, :], 0, X[:, :, 0]]).sum(axis=1)
+        for t in range(1, T1):
+            logp += np.log(
+                phi[np.arange(N)[None, :], t, X[:, :, t]]).sum(axis=1)
 
-    src, dst = g.edge_src, g.edge_dst
-    for t in range(T1):
-        logp += 0.5 * np.log(
-            psi[np.arange(g.E)[None, :], t, X[:, src, t], X[:, dst, t]]
-        ).sum(axis=1)
+        for t in range(T1 - 1):
+            xt = X[:, :, t]
+            xn = xt[:, nbr]                           # [Q, N, K]
+            p = np.asarray(
+                pfun(t, jnp.asarray(xn), jnp.asarray(xt)))  # [Q, N, q]
+            logp += np.log(
+                p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, t + 1]]
+            ).sum(axis=1)
+        if bp.periodic:
+            # time-periodic wrap: transition from t = T back to t = 0 with the
+            # last factor w[i][end] (reference exact.jl:24-26)
+            xt = X[:, :, T1 - 1]
+            xn = xt[:, nbr]
+            p = np.asarray(pfun(T1 - 1, jnp.asarray(xn), jnp.asarray(xt)))
+            logp += np.log(
+                p[np.arange(Q)[:, None], np.arange(N)[None, :], X[:, :, 0]]
+            ).sum(axis=1)
+
+        src, dst = g.edge_src, g.edge_dst
+        for t in range(T1):
+            logp += 0.5 * np.log(
+                psi[np.arange(g.E)[None, :], t, X[:, src, t], X[:, dst, t]]
+            ).sum(axis=1)
 
     m = logp.max()
     logZ = m + np.log(np.exp(logp - m).sum())

@@ -71,12 +71,25 @@ class RecursiveFactorTables:
     Py0: jax.Array
     # Any leading node axis may be 1 (broadcast) for homogeneous factors.
 
+    #: sum-type y-merge: when not None, ``prob_yy(y, y1, y2) = (y == y1+y2-off)``
+    #: (all reference Glauber variants, 0-indexed: ``glauber_bp.jl:44,80,170``)
+    #: and the merge runs as a banded Toeplitz contraction — ``Pyy`` is then a
+    #: dummy placeholder and is never read by the sweep.
+    yy_off: int | None = dataclasses.field(default=None,
+                                           metadata=dict(static=True))
+    #: ``ydims[d]`` = max nstates over nodes at degree d (reference
+    #: ``nstates(w, l)``, ``recursive_bp_factor.jl:6-27``); lets the bucketed
+    #: sweep crop the padded y-axis per degree bucket.  None = no cropping.
+    ydims: tuple | None = dataclasses.field(default=None,
+                                            metadata=dict(static=True))
+
     def tree_flatten(self):
-        return (self.Py, self.Pyp, self.Pxy, self.Pyy, self.Py0), None
+        return ((self.Py, self.Pyp, self.Pxy, self.Pyy, self.Py0),
+                (self.yy_off, self.ydims))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, aux[0], aux[1])
 
     @property
     def time_varying(self) -> bool:
@@ -104,10 +117,12 @@ class RecursiveFactorTables:
             return self
         return RecursiveFactorTables(self.Py[:, t], self.Pyp[:, :, t],
                                      self.Pxy[:, :, t], self.Pyy[:, :, t],
-                                     self.Py0[:, t])
+                                     self.Py0[:, t], self.yy_off, self.ydims)
 
     def astype(self, dtype):
-        return RecursiveFactorTables(*(x.astype(dtype) for x in self.tree_flatten()[0]))
+        return RecursiveFactorTables(
+            *(x.astype(dtype) for x in self.tree_flatten()[0]),
+            self.yy_off, self.ydims)
 
 
 class FactorSpec:
@@ -119,6 +134,13 @@ class FactorSpec:
     """
 
     q: int
+    #: when not None, the factor declares ``prob_yy(y, y1, y2) ==
+    #: (y == y1 + y2 - sum_y_offset)`` (0-indexed) — the sum-type structure of
+    #: every reference Glauber variant (``glauber_bp.jl:44,80,170``).
+    #: ``build_tables`` then skips the dense Pyy and tags the tables so the
+    #: sweep merges by banded (Toeplitz) convolution, which is what keeps
+    #: high-degree hubs polynomial (BASELINE.md row 4, star-graph anchor).
+    sum_y_offset: int | None = None
 
     def nstates(self, l: int) -> int:
         raise NotImplementedError
@@ -249,10 +271,22 @@ def build_tables(graph: Graph, specs: Sequence[FactorSpec],
         assert Y_pad >= Y, f"Y_pad={Y_pad} < required Y={Y}"
         Y = Y_pad
 
+    # per-degree y-cardinality (for the bucketed sweep's exact Y-cropping)
+    ydims = tuple(
+        min(Y, max((specs[i].nstates(l) for i in range(N)), default=1))
+        for l in range(K + 1))
+
+    # sum-type structure shared by all nodes -> skip the dense Pyy entirely
+    # (the sweep merges by banded convolution; a degree-d hub would otherwise
+    # need a [d, Y, Y, Y, q] table with Y = nstates(d))
+    offs = {s.sum_y_offset for s in specs}
+    yy_off = offs.pop() if (len(offs) == 1 and None not in offs) else None
+
     Py = np.zeros((N, q, q, Y), dtype)
     Pyp = np.zeros((N, K, q, q, q, Y), dtype)
     Pxy = np.zeros((N, K, Y, q, q), dtype)
-    Pyy = np.zeros((N, max(K, 1), Y, Y, Y, q), dtype)
+    Pyy = (np.zeros((1, 1, 1, 1, 1, q), dtype) if yy_off is not None
+           else np.zeros((N, max(K, 1), Y, Y, Y, q), dtype))
     Py0 = np.zeros((N, Y, q), dtype)
 
     for i in range(N):
@@ -260,13 +294,14 @@ def build_tables(graph: Graph, specs: Sequence[FactorSpec],
         # Merge tensor, indexed by d1 = #elements in the *first* argument
         # (so Pyy[i, d1][y, y_first, y_second, xi]); d2 is never used by any
         # reference implementation.
-        for d1 in range(max(K, 1)):
-            for y in range(Y):
-                for y1 in range(Y):
-                    for y2 in range(Y):
-                        for xi in range(q):
-                            Pyy[i, d1, y, y1, y2, xi] = \
-                                s.prob_yy(y, y1, y2, xi, d1, 1)
+        if yy_off is None:
+            for d1 in range(max(K, 1)):
+                for y in range(Y):
+                    for y1 in range(Y):
+                        for y2 in range(Y):
+                            for xi in range(q):
+                                Pyy[i, d1, y, y1, y2, xi] = \
+                                    s.prob_yy(y, y1, y2, xi, d1, 1)
         d = int(deg[i])
         for xi in range(q):
             for y in range(s.nstates(0)):
@@ -299,7 +334,7 @@ def build_tables(graph: Graph, specs: Sequence[FactorSpec],
                             Pyp[i, k, xp, xi, xk, y1] = v
     return RecursiveFactorTables(
         jnp.asarray(Py), jnp.asarray(Pyp), jnp.asarray(Pxy),
-        jnp.asarray(Pyy), jnp.asarray(Py0),
+        jnp.asarray(Pyy), jnp.asarray(Py0), yy_off, ydims,
     )
 
 
@@ -325,12 +360,17 @@ def build_tables_t(graph: Graph, specs_t: Sequence[Sequence[FactorSpec]],
     Y = max(Y, 1)
     slices = [build_tables(graph, [specs_t[i][t] for i in range(N)], dtype,
                            Y_pad=Y) for t in range(T1)]
+    assert all(s.yy_off == slices[0].yy_off for s in slices), \
+        "time-varying factors must share the y-merge structure"
+    ydims = tuple(max(s.ydims[d] for s in slices)
+                  for d in range(len(slices[0].ydims)))
     return RecursiveFactorTables(
         jnp.stack([s.Py for s in slices], axis=1),
         jnp.stack([s.Pyp for s in slices], axis=2),
         jnp.stack([s.Pxy for s in slices], axis=2),
         jnp.stack([s.Pyy for s in slices], axis=2),
         jnp.stack([s.Py0 for s in slices], axis=1),
+        slices[0].yy_off, ydims,
     )
 
 
@@ -356,9 +396,20 @@ def transition_probs(tables: RecursiveFactorTables, in_mask: jax.Array,
     for k in range(K):
         pxy = tables.Pxy[i_pxy, k]                               # [N, Y, q, q]
         pxy = pxy[jnp.arange(N), :, x_nbr[:, k], x]              # [N, Y]
-        pyy = tables.Pyy[i_pyy, min(k, tables.Pyy.shape[1] - 1)]  # [N, Y, Y, Y, q]
-        pyy = pyy[jnp.arange(N), :, :, :, x]                     # [N, Y, Y, Y]
-        v2 = jnp.einsum("nyab,na,nb->ny", pyy, v, pxy)
+        if tables.yy_off is not None:
+            # sum-type: v2[y] = sum_b v[y + off - b] pxy[b]
+            off = tables.yy_off
+            iy = jnp.arange(Y)[:, None]
+            ib = jnp.arange(Y)[None, :]
+            idx = iy + off - ib
+            ok = (idx >= 0) & (idx < Y)
+            vt = v[:, jnp.clip(idx, 0, Y - 1)] * ok[None]        # [N, Y, Y]
+            v2 = jnp.einsum("nyb,nb->ny", vt, pxy)
+        else:
+            pyy = tables.Pyy[i_pyy,
+                             min(k, tables.Pyy.shape[1] - 1)]    # [N,Y,Y,Y,q]
+            pyy = pyy[jnp.arange(N), :, :, :, x]                 # [N, Y, Y, Y]
+            v2 = jnp.einsum("nyab,na,nb->ny", pyy, v, pxy)
         v = jnp.where(in_mask[:, k][:, None], v2, v)
     Py = tables.Py[i_py, :, x]                                   # [N, q, Y]
     return jnp.einsum("npy,ny->np", Py, v)

@@ -40,6 +40,10 @@ class Graph:
     in_mask: np.ndarray       # bool[N, dmax]
     nbr: np.ndarray           # i[N, dmax]  neighbor indices, padded with N
     degree: np.ndarray        # i[N]
+    #: symmetry-collapsed infinite graph (``infinite.py``): each stored edge
+    #: stands for ``degree`` identical incidences; pair-belief logz weights
+    #: specialize to ``1/(k-1) - 1/2`` (``infinite_graph.jl:38-44,107-115``)
+    infinite: bool = False
 
     @property
     def out_edges(self) -> np.ndarray:

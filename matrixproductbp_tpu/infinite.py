@@ -16,7 +16,8 @@ from .graph import Graph
 from .bp import MPBP, mpbp
 
 __all__ = ["infinite_regular_graph", "infinite_bipartite_graph",
-           "mpbp_infinite_graph", "mpbp_infinite_bipartite_graph",
+           "mpbp_infinite_graph", "periodic_mpbp_infinite_graph",
+           "mpbp_infinite_bipartite_graph",
            "bethe_free_energy_infinite_bipartite"]
 
 
@@ -31,6 +32,7 @@ def infinite_regular_graph(k: int) -> Graph:
         in_mask=np.ones((1, k), bool),
         nbr=np.zeros((1, k), np.int32),
         degree=np.array([k], np.int32),
+        infinite=True,
     )
 
 
@@ -53,6 +55,7 @@ def infinite_bipartite_graph(k1: int, k2: int) -> Graph:
         rev_edge=np.array([1, 0], np.int32),
         in_edges=in_edges, in_mask=in_mask, nbr=nbr,
         degree=np.array([k1, k2], np.int32),
+        infinite=True,
     )
 
 
@@ -64,6 +67,31 @@ def mpbp_infinite_graph(k: int, tables, T: int, D: int, phi=None, psi=None,
     dtype = jnp.float64 if dtype is None else dtype
     g = infinite_regular_graph(k)
     return mpbp(g, tables, T, D, phi=phi, psi=psi, dtype=dtype)
+
+
+def periodic_mpbp_infinite_graph(k: int, tables, T: int, D: int, phi=None,
+                                 psi=None, dtype=None, bond: int = 1,
+                                 seed: int = 0) -> MPBP:
+    """Time-periodic (trace-closed) infinite k-regular state (reference
+    ``periodic_mpbp_infinite_graph``, ``infinite_graph.jl:46-60``).
+
+    The reference initialises with *random* periodic trains of bond ``d``
+    (``rand_periodic_mpem2``) — the flat periodic train can sit on a symmetric
+    unstable point — so the message is randomised here too.
+    """
+    import jax
+    import jax.numpy as jnp
+    import dataclasses as _dc
+    dtype = jnp.float64 if dtype is None else dtype
+    g = infinite_regular_graph(k)
+    bp = mpbp(g, tables, T, D, phi=phi, psi=psi, dtype=dtype, periodic=True)
+    from .ops.tensortrain import rand_tt, normalize
+    key = jax.random.PRNGKey(seed)
+    q = tables.q
+    msg, _ = normalize(rand_tt(key, T + 1, D, (q, q), bond=bond, dtype=dtype,
+                               periodic=True))
+    return _dc.replace(bp, msg_cores=msg.cores[None],
+                       msg_logz=jnp.broadcast_to(msg.logz, (1,)))
 
 
 def mpbp_infinite_bipartite_graph(k: tuple, tables, T: int, D: int, phi=None,

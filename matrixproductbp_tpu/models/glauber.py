@@ -25,7 +25,8 @@ from ..bp import MPBP, mpbp
 __all__ = ["Ising", "Glauber", "potts2spin", "spin2potts", "energy",
            "HomogeneousGlauberFactorSpec", "PMJGlauberFactorSpec",
            "IntegerGlauberFactorSpec", "GenericGlauberFactorSpec",
-           "glauber_factor_specs", "mpbp_glauber"]
+           "glauber_factor_specs", "mpbp_glauber", "periodic_mpbp_glauber",
+           "mpbp_stationary_glauber"]
 
 
 def potts2spin(x):
@@ -93,12 +94,18 @@ class HomogeneousGlauberFactorSpec(FactorSpec):
     """All couplings equal: y = number of +1 neighbors (``glauber_bp.jl:22-55``)."""
 
     q = 2
+    sum_y_offset = 0     # prob_yy(y,y1,y2) == (y == y1+y2): banded merge
 
     def __init__(self, J: float, h: float, beta: float):
         self.bJ, self.bh = beta * J, beta * h
 
     def nstates(self, l):
         return l + 1
+
+    def prob_y_partial(self, xp, x, xk, y1, d_cav, k):
+        """Closed form: the slot contributes y2 = 1 - xk deterministically
+        (``recursive_bp_factor.jl:49-54`` specialization)."""
+        return self.prob_y(xp, x, y1 + (1 - xk), d_cav + 1)
 
     def prob_y(self, xp, x, y, d):
         field = self.bJ * (2 * y - d) + self.bh
@@ -120,6 +127,7 @@ class PMJGlauberFactorSpec(FactorSpec):
     (``glauber_bp.jl:57-91``)."""
 
     q = 2
+    sum_y_offset = 0     # prob_yy(y,y1,y2) == (y == y1+y2): banded merge
 
     def __init__(self, signs: Sequence[int], absJ: float, h: float, beta: float):
         self.signs = list(signs)
@@ -127,6 +135,10 @@ class PMJGlauberFactorSpec(FactorSpec):
 
     def nstates(self, l):
         return 2 * l + 1
+
+    def prob_y_partial(self, xp, x, xk, y1, d_cav, k):
+        y2 = (1 - 2 * xk) * self.signs[k] + 1
+        return self.prob_y(xp, x, y1 + y2, d_cav + 1)
 
     def prob_y(self, xp, x, y, d):
         field = self.bJ * (y - d) + self.bh
@@ -154,9 +166,17 @@ class IntegerGlauberFactorSpec(FactorSpec):
         self.J = [int(j) for j in J]
         self.h, self.beta = h, beta
         self.K = int(sum(abs(j) for j in self.J)) + 1
+        # prob_yy(y,y1,y2) == (y == y1+y2-(K-1)): banded merge
+        self.sum_y_offset = self.K - 1
 
     def nstates(self, l):
         return 2 * self.K - 1
+
+    def prob_y_partial(self, xp, x, xk, y1, d_cav, k):
+        y = y1 + (1 - 2 * xk) * self.J[k]
+        if not (0 <= y < 2 * self.K - 1):
+            return 0.0
+        return self.prob_y(xp, x, y, d_cav + 1)
 
     def prob_y(self, xp, x, y, d):
         field = self.beta * ((y - (self.K - 1)) + self.h)
@@ -236,11 +256,31 @@ class Glauber:
 
 
 def mpbp_glauber(gl: Glauber, D: int, force: str | None = None,
-                 dtype=None) -> MPBP:
-    """Reference ``mpbp(::Glauber)`` (``glauber_bp.jl:94-100``)."""
+                 dtype=None, periodic: bool = False) -> MPBP:
+    """Reference ``mpbp(::Glauber)`` (``glauber_bp.jl:94-100``);
+    ``periodic=True`` mirrors ``periodic_mpbp(::Glauber)``
+    (``glauber_bp.jl:102-108``)."""
     import jax.numpy as jnp
     dtype = jnp.float64 if dtype is None else dtype
     specs = glauber_factor_specs(gl.ising, force)
     tables = build_tables(gl.ising.graph, specs)
     return mpbp(gl.ising.graph, tables, gl.T, D, phi=gl.phi, psi=gl.psi,
-                dtype=dtype)
+                dtype=dtype, periodic=periodic)
+
+
+def periodic_mpbp_glauber(gl: Glauber, D: int, force: str | None = None,
+                          dtype=None) -> MPBP:
+    """Reference ``periodic_mpbp(::Glauber)`` (``glauber_bp.jl:102-108``)."""
+    return mpbp_glauber(gl, D, force=force, dtype=dtype, periodic=True)
+
+
+def mpbp_stationary_glauber(gl: Glauber, D: int = 1,
+                            force: str | None = None):
+    """Reference ``mpbp_stationary(::Glauber)`` (``glauber_bp.jl:110-116``)."""
+    import numpy as np
+    from ..stationary import mpbp_stationary
+    specs = glauber_factor_specs(gl.ising, force)
+    tables = build_tables(gl.ising.graph, specs)
+    phi0 = None if gl.phi is None else np.asarray(gl.phi)[:, 0, :]
+    psi0 = None if gl.psi is None else np.asarray(gl.psi)[:, 0]
+    return mpbp_stationary(gl.ising.graph, tables, D=D, phi=phi0, psi=psi0)

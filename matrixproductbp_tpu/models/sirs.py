@@ -18,7 +18,8 @@ from .sis import SUSCEPTIBLE, INFECTIOUS
 
 RECOVERED = 2
 
-__all__ = ["SIRS", "SIRSFactorSpec", "mpbp_sirs", "RECOVERED"]
+__all__ = ["SIRS", "SIRSFactorSpec", "mpbp_sirs", "periodic_mpbp_sirs",
+           "mpbp_stationary_sirs", "RECOVERED"]
 
 
 class SIRSFactorSpec(FactorSpec):
@@ -87,10 +88,29 @@ class SIRS:
         return phi
 
 
-def mpbp_sirs(sirs: SIRS, D: int, dtype=jnp.float64) -> MPBP:
-    """Reference ``mpbp(::SIRS)`` (``sirs_bp.jl:22-26``)."""
+def mpbp_sirs(sirs: SIRS, D: int, dtype=jnp.float64,
+              periodic: bool = False) -> MPBP:
+    """Reference ``mpbp(::SIRS)`` (``sirs_bp.jl:22-26``); ``periodic=True``
+    gives the trace-closed variant."""
     spec = SIRSFactorSpec(sirs.lam, sirs.rho, sirs.sigma, sirs.alpha)
     tables = build_tables(sirs.graph, [spec] * sirs.graph.N)
     phi = sirs.phi if sirs.phi is not None else sirs.default_phi()
     return mpbp(sirs.graph, tables, sirs.T, D, phi=phi, psi=sirs.psi,
-                dtype=dtype)
+                dtype=dtype, periodic=periodic)
+
+
+def periodic_mpbp_sirs(sirs: SIRS, D: int, dtype=jnp.float64) -> MPBP:
+    return mpbp_sirs(sirs, D, dtype=dtype, periodic=True)
+
+
+def mpbp_stationary_sirs(sirs: SIRS, D: int = 1):
+    """Stationary-mode constructor (pattern of ``mpbp_stationary(::SIS)``,
+    ``sis_bp.jl:55-58``, applied to SIRS)."""
+    import numpy as np
+    from ..stationary import mpbp_stationary
+    spec = SIRSFactorSpec(sirs.lam, sirs.rho, sirs.sigma, sirs.alpha)
+    tables = build_tables(sirs.graph, [spec] * sirs.graph.N)
+    phi = (sirs.phi if sirs.phi is not None else sirs.default_phi())
+    phi0 = np.asarray(phi)[:, 0, :]
+    psi0 = None if sirs.psi is None else np.asarray(sirs.psi)[:, 0]
+    return mpbp_stationary(sirs.graph, tables, D=D, phi=phi0, psi=psi0)

@@ -21,6 +21,7 @@ SUSCEPTIBLE = 0
 INFECTIOUS = 1
 
 __all__ = ["SIS", "SISFactorSpec", "sis_tables", "mpbp_sis",
+           "periodic_mpbp_sis", "mpbp_stationary_sis",
            "SUSCEPTIBLE", "INFECTIOUS"]
 
 
@@ -131,9 +132,28 @@ class SIS:
         return phi
 
 
-def mpbp_sis(sis: SIS, D: int, dtype=jnp.float64) -> MPBP:
+def mpbp_sis(sis: SIS, D: int, dtype=jnp.float64,
+             periodic: bool = False) -> MPBP:
     """Build the BP state for an SIS model (reference ``mpbp(::SIS)``,
-    ``sis_bp.jl:42-47``)."""
+    ``sis_bp.jl:42-47``; ``periodic=True`` mirrors ``periodic_mpbp(::SIS)``,
+    ``sis_bp.jl:49-53``)."""
     tables = sis_tables(sis.graph, sis.lam, sis.rho, sis.alpha)
     phi = sis.phi if sis.phi is not None else sis.default_phi()
-    return mpbp(sis.graph, tables, sis.T, D, phi=phi, psi=sis.psi, dtype=dtype)
+    return mpbp(sis.graph, tables, sis.T, D, phi=phi, psi=sis.psi, dtype=dtype,
+                periodic=periodic)
+
+
+def periodic_mpbp_sis(sis: SIS, D: int, dtype=jnp.float64) -> MPBP:
+    """Reference ``periodic_mpbp(::SIS)`` (``sis_bp.jl:49-53``)."""
+    return mpbp_sis(sis, D, dtype=dtype, periodic=True)
+
+
+def mpbp_stationary_sis(sis: SIS, D: int = 1):
+    """Reference ``mpbp_stationary(::SIS)`` (``sis_bp.jl:55-58``): stationary
+    (T -> inf uniform) state with the model's t=0 reweighting."""
+    from ..stationary import mpbp_stationary
+    tables = sis_tables(sis.graph, sis.lam, sis.rho, sis.alpha)
+    phi = (sis.phi if sis.phi is not None else sis.default_phi())
+    phi0 = np.asarray(phi)[:, 0, :]
+    psi0 = None if sis.psi is None else np.asarray(sis.psi)[:, 0]
+    return mpbp_stationary(sis.graph, tables, D=D, phi=phi0, psi=psi0)

@@ -19,7 +19,7 @@ from ..bp import MPBP, mpbp
 from .sis import SUSCEPTIBLE, INFECTIOUS
 
 __all__ = ["SISHeterogeneous", "SISHeterogeneousFactorSpec",
-           "mpbp_sis_heterogeneous"]
+           "mpbp_sis_heterogeneous", "periodic_mpbp_sis_heterogeneous"]
 
 
 class SISHeterogeneousFactorSpec(FactorSpec):
@@ -88,7 +88,7 @@ class SISHeterogeneous:
 
 
 def mpbp_sis_heterogeneous(m: SISHeterogeneous, D: int,
-                           dtype=jnp.float64) -> MPBP:
+                           dtype=jnp.float64, periodic: bool = False) -> MPBP:
     g = m.graph
     alpha = np.zeros(g.N) if m.alpha is None else np.asarray(m.alpha)
     specs = []
@@ -99,4 +99,12 @@ def mpbp_sis_heterogeneous(m: SISHeterogeneous, D: int,
                                                 float(alpha[i])))
     tables = build_tables(g, specs)
     phi = m.phi if m.phi is not None else m.default_phi()
-    return mpbp(g, tables, m.T, D, phi=phi, psi=m.psi, dtype=dtype)
+    return mpbp(g, tables, m.T, D, phi=phi, psi=m.psi, dtype=dtype,
+                periodic=periodic)
+
+
+def periodic_mpbp_sis_heterogeneous(m: SISHeterogeneous, D: int,
+                                    dtype=jnp.float64) -> MPBP:
+    """Reference ``periodic_mpbp(::SIS_heterogeneous)``
+    (``sis_heterogeneous_bp.jl:52-56``)."""
+    return mpbp_sis_heterogeneous(m, D, dtype=dtype, periodic=True)

@@ -24,13 +24,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["batched_cholqr", "cholqr_reference"]
+__all__ = ["batched_cholqr", "cholqr_reference", "cholqr"]
 
 _LANES = 128
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def cholqr(A: jax.Array, eps: float | None = None):
+    """Thin QR for the randomized-rounding projection (``ops/randomized.py``):
+    the Pallas lane-batched kernel on TPU, the unrolled VPU fallback on CPU
+    (interpret-mode Pallas is too slow for the test suite).  Both are exact
+    CholQR up to the rank-deficiency jitter."""
+    if eps is None:
+        eps = 1e-12 if A.dtype == jnp.float64 else 1e-6
+    if jax.default_backend() == "tpu":
+        return batched_cholqr(A, eps=eps)
+    from .smallalg import cholqr_unrolled
+    return cholqr_unrolled(A, eps=eps)
 
 
 def cholqr_reference(A: jax.Array, eps: float = 1e-7):

@@ -34,6 +34,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .kernels import cholqr
+from .sumy import y_expand
 from .tensortrain import TensorTrain, _safe_scale, _sweep_truncate_rl, \
     normalize_eachmatrix
 from .truncation import SVDTrunc
@@ -42,7 +44,8 @@ __all__ = ["merge_rounded"]
 
 
 def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
-                  q: int, key, oversample: int = 2):
+                  q: int, key, oversample: int = 2,
+                  yy_off: int | None = None):
     """Merge two cavity trains and round to bond ``Dout`` without ever
     materializing the Kronecker bond.  Open (non-periodic) trains only.
 
@@ -57,7 +60,10 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
 
     L = Lc.reshape(T1, DL, DL, Y, q)
     B = Bc.reshape(T1, DB, DB, Y, q)
-    pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape[-4:])  # tiny: [T1,Y,Y,Y,q]
+    if yy_off is None:
+        pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape[-4:])  # [T1,Y,Y,Y,q]
+    else:
+        pyy_t = jnp.zeros((T1, 1), dtype)                  # placeholder
 
     theta = jax.random.normal(key, (T1, s, s, Y, q), dtype)
 
@@ -66,7 +72,10 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
     def wstep(W, xs):
         Lt, Bt, Tt, Pyyt = xs
         # contract pyy with theta once per step: Th[a, b, y1, y2, x]
-        Th = jnp.einsum("abyx,yuvx->abuvx", Tt, Pyyt)
+        if yy_off is None:
+            Th = jnp.einsum("abyx,yuvx->abuvx", Tt, Pyyt)
+        else:
+            Th = y_expand(Tt, yy_off, axis=2, mode="sum")
         t1 = jnp.einsum("mnvx,lnb->mlvxb", Bt, W)        # [DB,DL(n? see below)]
         # W[nL, nB, b]; t1[mB, nL, y2, x, b]
         u = jnp.einsum("abuvx,mlvxb->mluxa", Th, t1)     # [mB, nL, y1, x, a]
@@ -89,7 +98,11 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
     def zcompute(C, Lt, Bt, Pyyt):
         # C: [s, DL, DB] carry; returns Z[s, nL, nB, y, x]
         t1 = jnp.einsum("pkm,knux->pnmux", C, Lt)        # [s, nL, mB, y1, x]
-        Z = jnp.einsum("yuvx,pnmux,mjvx->pnjyx", Pyyt, t1, Bt)
+        if yy_off is None:
+            Z = jnp.einsum("yuvx,pnmux,mjvx->pnjyx", Pyyt, t1, Bt)
+        else:
+            t1T = y_expand(t1, yy_off, axis=3, mode="diff")
+            Z = jnp.einsum("pnmyvx,mjvx->pnjyx", t1T, Bt)
         return Z
 
     def lstep(carry, xs):
@@ -100,7 +113,7 @@ def merge_rounded(Lc, Llz, Bc, Blz, pyy, trunc: SVDTrunc, Dout: int, Y: int,
         Z = Z / m
         lg = lg - jnp.log(m)
         Yk = jnp.einsum("pnjyx,nja->pyxa", Z, Wt1).reshape(s * P, s)
-        Q, _ = jnp.linalg.qr(Yk)                         # [s*P, s] tiny
+        Q, _ = cholqr(Yk)  # lane-batched Pallas CholQR on TPU (ops/kernels.py)
         core = Q.reshape(s, P, s).transpose(0, 2, 1)     # [s, s, P]
         C2 = jnp.einsum("pyxa,pnjyx->anj", Q.reshape(s, Y, q, s), Z)
         return (C2, lg), core

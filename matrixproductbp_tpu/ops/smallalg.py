@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["chol_unrolled", "solve_lower_unrolled", "solve_lower_t_unrolled",
-           "spd_solve_unrolled"]
+           "spd_solve_unrolled", "cholqr_unrolled"]
 
 _FLOOR = 1e-30
 
@@ -73,3 +73,26 @@ def spd_solve_unrolled(G: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     unrolled Cholesky + two unrolled substitutions (no ``lax.linalg``)."""
     L = chol_unrolled(G)
     return solve_lower_t_unrolled(L, solve_lower_unrolled(L, B))
+
+
+def cholqr_unrolled(A: jnp.ndarray, eps: float | None = None):
+    """Thin QR via Cholesky-QR with unrolled factorization: A [..., m, n] ->
+    (Q [..., m, n], R [..., n, n]) with A = Q R, R = L^T upper triangular.
+
+    The reduced-QR replacement for the randomized-rounding projection step
+    (``ops/randomized.py``): only Q's column space matters there, and CholQR
+    is pure fused VPU code over the batch (no ``lax.linalg`` latency floor).
+    A small trace-scaled jitter keeps the Gram factorization defined when the
+    sketch is rank-deficient; junk directions carry ~zero projection weight
+    and are removed by the caller's final truncating sweep.
+    """
+    n = A.shape[-1]
+    if eps is None:
+        eps = 1e-12 if A.dtype == jnp.float64 else 1e-6
+    G = jnp.einsum("...mi,...mj->...ij", A, A)
+    tr = jnp.maximum(
+        jnp.trace(G, axis1=-2, axis2=-1), _FLOOR)[..., None, None]
+    L = chol_unrolled(G + (eps / n) * tr * jnp.eye(n, dtype=A.dtype))
+    # Q = A L^{-T}  <=>  Q^T = L^{-1} A^T
+    Qt = solve_lower_unrolled(L, jnp.swapaxes(A, -1, -2))
+    return jnp.swapaxes(Qt, -1, -2), jnp.swapaxes(L, -1, -2)

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .smallalg import spd_solve_unrolled
+from .sumy import y_expand
 from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
     normalize_eachmatrix
 
@@ -60,7 +61,8 @@ def _eps_for(dtype):
 
 
 def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
-               oversample: int = 4):
+               oversample: int = 4, unroll: int | bool = True,
+               yy_off: int | None = None):
     """Merge cavity trains L (x) B (prob_yy-contracted) -> bond Dout.
 
     Lc: [T1, DL, DL, Y*q]; Bc: [T1, DB, DB, Y*q] -> ([T1, Dout, Dout, Y*q], logz).
@@ -76,57 +78,99 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
 
     Lf = Lc.reshape(T1, DL, DL, Y, q)
     Bf = Bc.reshape(T1, DB, DB, Y, q)
-    pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape[-4:])  # tiny: [T1,Y,Y,Y,q]
+    if yy_off is None:
+        pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape[-4:])  # [T1,Y,Y,Y,q]
+    else:
+        pyy_t = jnp.zeros((T1, 1), dtype)                  # placeholder
     kphi, kpsi = jax.random.split(key)
     phi = jax.random.normal(kphi, (T1, sl, sl, Y, q), dtype)
     psi = jax.random.normal(kpsi, (T1, sr, sr, Y, q), dtype)
 
+    # Scan carries/stacks are kept as FLAT trailing axes: materialized scan
+    # buffers get tiled TPU layouts, and a trailing axis of 2..14 pads each
+    # (8, 128) tile by 9-32x in both HBM bytes and bandwidth (measured: 20.5x
+    # expansion, 6% buffer utilization — PERF.md).  Reshapes inside the step
+    # bodies are fusion-internal and free.
+    Lfl = Lc.reshape(T1, DL * DL * P)
+    Bfl = Bc.reshape(T1, DB * DB * P)
+
     # ---- right sketches W_t [DL, DB, sr]: sites t..T1-1 vs psi ------------
-    def wstep(W, xs):
-        Lt, Bt, Pt, Pyyt = xs
-        Th = jnp.einsum("abyx,yuvx->abuvx", Pt, Pyyt)
+    def wstep(Wf, xs):
+        Ltf, Btf, Pt, Pyyt = xs
+        Lt = Ltf.reshape(DL, DL, Y, q)
+        Bt = Btf.reshape(DB, DB, Y, q)
+        W = Wf.reshape(DL, DB, sr)
+        if yy_off is None:
+            Th = jnp.einsum("abyx,yuvx->abuvx", Pt, Pyyt)
+        else:
+            # banded: Th[a,b,u,v,x] = Pt[a,b,u+v-off,x]
+            Th = y_expand(Pt, yy_off, axis=2, mode="sum")
         t1 = jnp.einsum("mnvx,lnb->mlvxb", Bt, W)          # [mB, nL, y2, x, b]
         u = jnp.einsum("abuvx,mlvxb->mluxa", Th, t1)       # [mB, nL, y1, x, a]
         W2 = jnp.einsum("knux,mnuxa->kma", Lt, u)          # [mL, mB, a]
         W2 = W2 / _safe_scale(jnp.max(jnp.abs(W2)))
-        return W2, W2
+        W2f = W2.reshape(DL * DB * sr)
+        return W2f, W2f
 
-    W_end = jnp.zeros((DL, DB, sr), dtype).at[0, 0, 0].set(1.0)
-    _, Ws = jax.lax.scan(wstep, W_end, (Lf[1:], Bf[1:], psi[1:], pyy_t[1:]),
-                         reverse=True)
-    # Ws[t] = W_{t+1} (sketch of sites t+1..) for t = 0..T1-2
+    W_end = jnp.zeros((DL * DB * sr,), dtype).at[0].set(1.0)
+    _, Ws = jax.lax.scan(wstep, W_end, (Lfl[1:], Bfl[1:], psi[1:], pyy_t[1:]),
+                         reverse=True, unroll=unroll)
+    # Ws[t] = flat W_{t+1} (sketch of sites t+1..) for t = 0..T1-2
 
     # ---- forward pass: carry S_{t-1}; emit (N_t, M_{t-1}-aligned) ---------
     # For core t (t = 1..T1-1):
     #   N_t = S_{t-1} X_t W_{t+1}   (W_{T1} = boundary at t = T1-1)
     #   M_{t-1} = S_{t-1} W_t
     # The scan runs t = 1..T1-1, carrying S and emitting (N_t, M_{t-1}).
-    def fstep(S, xs):
-        Lt, Bt, Ft, Wt, Wt1, Pyyt = xs
+    def fstep(Sf, xs):
+        Ltf, Btf, Ft, Wtf, Wt1f, Pyyt = xs
+        Lt = Ltf.reshape(DL, DL, Y, q)
+        Bt = Btf.reshape(DB, DB, Y, q)
+        Wt = Wtf.reshape(DL, DB, sr)
+        Wt1 = Wt1f.reshape(DL, DB, sr)
+        S = Sf.reshape(sl, DL, DB)
         # cross matrix with the *incoming* sketch: M = S W_t
         Mt = jnp.einsum("ekm,kma->ea", S, Wt)
         # numerator: N = S X_t W_{t+1}
         t1 = jnp.einsum("ekm,knux->enmux", S, Lt)          # [e, nL, mB, y1, x]
-        t2 = jnp.einsum("yuvx,enmux,mjvx->enjyx", Pyyt, t1, Bt)
-        Nt = jnp.einsum("enjyx,njb->eyxb", t2, Wt1)        # [e, Y, q, sr]
+        if yy_off is None:
+            t2 = jnp.einsum("yuvx,enmux,mjvx->enjyx", Pyyt, t1, Bt)
+        else:
+            # t1T[e,n,m,y,v,x] = t1[e,n,m,y+off-v,x]
+            t1T = y_expand(t1, yy_off, axis=3, mode="diff")
+            t2 = jnp.einsum("enmyvx,mjvx->enjyx", t1T, Bt)
+        # flatten the shared t2 intermediate so the fusion boundary gets a
+        # lane-packed layout (it is consumed twice and must materialize)
+        t2 = t2.reshape(sl, DL * DB * Y * q)
+        t2u = t2.reshape(sl, DL, DB, Y, q)
+        Nt = jnp.einsum("enjyx,njb->eyxb", t2u, Wt1)       # [e, Y, q, sr]
         # advance the sketch: S_t from S_{t-1}
-        S2 = jnp.einsum("efyx,enjyx->fnj", Ft, t2)         # [e', nL, nB]
+        S2 = jnp.einsum("efyx,enjyx->fnj", Ft, t2u)        # [e', nL, nB]
         S2 = S2 / _safe_scale(jnp.max(jnp.abs(S2)))
-        return S2, (Nt, Mt)
+        return S2.reshape(sl * DL * DB), (Nt.reshape(sl * P * sr),
+                                          Mt.reshape(sl * sr))
 
     # site-0 partial contraction (row (0,0) of X_0): c0[nL, nB, y, x]
-    c0 = jnp.einsum("yuvx,nux,jvx->njyx", pyy_t[0], Lf[0, 0], Bf[0, 0])
+    if yy_off is None:
+        c0 = jnp.einsum("yuvx,nux,jvx->njyx", pyy_t[0], Lf[0, 0], Bf[0, 0])
+    else:
+        LT = y_expand(Lf[0, 0], yy_off, axis=1, mode="diff")  # [n, y, v, x]
+        c0 = jnp.einsum("nyvx,jvx->njyx", LT, Bf[0, 0])
     # S_0 = sketch including site 0 (phi_0 enters through its boundary row)
     S_init = jnp.einsum("fyx,njyx->fnj", phi[0, 0], c0)
     S_init = S_init / _safe_scale(jnp.max(jnp.abs(S_init)))
-    W_last = jnp.zeros((DL, DB, sr), dtype).at[0, 0, 0].set(1.0)
+    S_init = S_init.reshape(sl * DL * DB)
+    W_last = jnp.zeros((DL * DB * sr,), dtype).at[0].set(1.0)
     Wnext = jnp.concatenate([Ws[1:], W_last[None]], axis=0)  # W_{t+1}, t=1..T1-1
     _, (Ns, Ms) = jax.lax.scan(
-        fstep, S_init, (Lf[1:], Bf[1:], phi[1:], Ws, Wnext, pyy_t[1:]))
-    # Ns[j] = N_{j+1}, Ms[j] = M_j for j = 0..T1-2
+        fstep, S_init, (Lfl[1:], Bfl[1:], phi[1:], Ws, Wnext, pyy_t[1:]),
+        unroll=unroll)
+    # Ns[j] = flat N_{j+1}, Ms[j] = flat M_j for j = 0..T1-2
+    Ms = Ms.reshape(T1 - 1, sl, sr)
 
     # ---- first core: row (0,0) of X_0 against W_1 -------------------------
-    v0 = jnp.einsum("njyx,njb->byx", c0, Ws[0]).reshape(sr, P)
+    v0 = jnp.einsum("njyx,njb->byx", c0,
+                    Ws[0].reshape(DL, DB, sr)).reshape(sr, P)
     first = jnp.zeros((sr, sr, P), dtype).at[0].set(v0)
 
     # ---- interior + last cores via one batched solve ----------------------
@@ -140,7 +184,8 @@ def merge_stta(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
     return tt.cores, tt.logz
 
 
-def mpem3_stta(B3, logz, Dout: int, key, oversample: int = 4):
+def mpem3_stta(B3, logz, Dout: int, key, oversample: int = 4,
+               unroll: int | bool = True):
     """MPEM3 stack -> bond-Dout MPEM2 train in one two-sided sketch.
 
     B3: [T1, Db, Db, qi, qj, qi'] (xi' couples adjacent sites diagonally).
@@ -159,39 +204,55 @@ def mpem3_stta(B3, logz, Dout: int, key, oversample: int = 4):
     phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
     psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
 
+    # flat trailing axes for all scan-materialized buffers (see merge_stta:
+    # tiled TPU layouts pad small trailing dims 9-32x — PERF.md)
+    B3f = B3.reshape(T1, Db * Db * qi * qj * qi)
+
     # ---- right sketches W_t [Db, qi(link), sr] ----------------------------
-    def wstep(W, xs):
-        Bt, Pt = xs
+    def wstep(Wf, xs):
+        Btf, Pt = xs
+        Bt = Btf.reshape(Db, Db, qi, qj, qi)
+        W = Wf.reshape(Db, qi, sr)
         t1 = jnp.einsum("mnijr,nrc->mijc", Bt, W)
         W2 = jnp.einsum("mijc,bcij->mib", t1, Pt)
         W2 = W2 / _safe_scale(jnp.max(jnp.abs(W2)))
-        return W2, W2
+        W2f = W2.reshape(Db * qi * sr)
+        return W2f, W2f
 
     # right boundary: col-0 TT bond, xi' index 0 (reference takes slice 0)
-    W_end = jnp.zeros((Db, qi, sr), dtype).at[0, 0, 0].set(1.0)
-    _, Ws = jax.lax.scan(wstep, W_end, (B3[1:], psi[1:]), reverse=True)
-    # Ws[t] = W_{t+1} for t = 0..T1-2
+    W_end = jnp.zeros((Db * qi * sr,), dtype).at[0].set(1.0)
+    _, Ws = jax.lax.scan(wstep, W_end, (B3f[1:], psi[1:]), reverse=True,
+                         unroll=unroll)
+    # Ws[t] = flat W_{t+1} for t = 0..T1-2
 
     # ---- forward pass: carry S_{t-1}, emit (N_t, M_{t-1}) -----------------
-    def fstep(S, xs):
-        Bt, Ft, Wt, Wt1 = xs
+    def fstep(Sf, xs):
+        Btf, Ft, Wtf, Wt1f = xs
+        Bt = Btf.reshape(Db, Db, qi, qj, qi)
+        Wt = Wtf.reshape(Db, qi, sr)
+        Wt1 = Wt1f.reshape(Db, qi, sr)
+        S = Sf.reshape(sl, Db, qi)
         Mt = jnp.einsum("emi,mib->eb", S, Wt)
         t1 = jnp.einsum("emi,mnijr->enijr", S, Bt)
         Nt = jnp.einsum("enijr,nrb->eijb", t1, Wt1)        # [e, qi, qj, sr]
         S2 = jnp.einsum("enijr,efij->fnr", t1, Ft)
         S2 = S2 / _safe_scale(jnp.max(jnp.abs(S2)))
-        return S2, (Nt, Mt)
+        return S2.reshape(sl * Db * qi), (Nt.reshape(sl * P * sr),
+                                          Mt.reshape(sl * sr))
 
     # S_0 = sketch including site 0 (TT row 0; xi-link of site 0 summed
     # uniformly on the left — the delta is inside the B3 contraction)
     S_init = jnp.einsum("fij,nijr->fnr", phi[0, 0], B3[0, 0])
     S_init = S_init / _safe_scale(jnp.max(jnp.abs(S_init)))
-    W_last = jnp.zeros((Db, qi, sr), dtype).at[0, 0, 0].set(1.0)
+    S_init = S_init.reshape(sl * Db * qi)
+    W_last = jnp.zeros((Db * qi * sr,), dtype).at[0].set(1.0)
     Wnext = jnp.concatenate([Ws[1:], W_last[None]], axis=0)
-    _, (Ns, Ms) = jax.lax.scan(fstep, S_init, (B3[1:], phi[1:], Ws, Wnext))
+    _, (Ns, Ms) = jax.lax.scan(fstep, S_init, (B3f[1:], phi[1:], Ws, Wnext),
+                               unroll=unroll)
+    Ms = Ms.reshape(T1 - 1, sl, sr)
 
     # ---- first core -------------------------------------------------------
-    c0 = jnp.einsum("nijr,nrb->ijb", B3[0, 0], Ws[0])
+    c0 = jnp.einsum("nijr,nrb->ijb", B3[0, 0], Ws[0].reshape(Db, qi, sr))
     first = jnp.zeros((sr, sr, P), dtype).at[0].set(c0.reshape(P, sr).T)
 
     # ---- interior + last via one batched solve ----------------------------

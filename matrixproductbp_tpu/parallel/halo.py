@@ -239,7 +239,9 @@ def halo_mpbp(bp: MPBP, mesh: Mesh,
         perm = np.zeros(ndev * Nloc, dtype=np.int64)  # new -> old (pad: 0)
         perm[plan.node_new] = np.arange(N)
         tb_h = RecursiveFactorTables(
-            *(jnp.asarray(np.asarray(x)[perm]) for x in tb.tree_flatten()[0]))
+            *(jnp.asarray(np.asarray(x)[perm] if x.shape[0] == N else
+              np.asarray(x)) for x in tb.tree_flatten()[0]),
+            tb.yy_off, tb.ydims)
 
     bel_c = np.zeros((ndev, Nloc) + bp.bel_cores.shape[1:], dtype)
     bel_c[:, :, :, 0, 0, :] = 1.0
@@ -338,7 +340,8 @@ def halo_sweep(state: HaloState, trunc: SVDTrunc,
                     ph, dg, pyy_):
             return _node_update(mi_c, mi_z, mo_c, mo_z, ps, mk, py_, pyp_,
                                 pxy_, py0_, ph, dg, pyy_, trunc, trunc_cav,
-                                Dm, Dcav, damp, periodic, method, key)
+                                Dm, Dcav, damp, periodic, method, key,
+                                tb.yy_off, direct_k3=Nloc <= 4096)
 
         def prep(tbl, pn):
             # per-node block [1, Nloc, ...] -> [Nloc, ...] mapped;

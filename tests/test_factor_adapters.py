@@ -87,3 +87,39 @@ def test_logprob_matches_sampled_weight_bookkeeping():
     X = _decode_all(len(p_ex), 2, g.N, 3)[idx]     # [N, T1]
     lp = mp.logprob(bp, X)
     assert np.isclose(np.exp(lp) / Z, p_ex[idx], rtol=1e-8)
+
+
+class _RestrictedTraceFactorSpec(TraceFactorSpec):
+    """``RestrictedRecursiveBPFactor`` analogue (``src/test_factors.jl:21-38``):
+    hides the specialized ``prob_y_partial`` so ``build_tables`` must take the
+    generic fallback sum (``factors.py:292-298``)."""
+
+    @property
+    def prob_y_partial(self):
+        raise AttributeError("restricted to generic fallback methods")
+
+
+def test_restricted_fallback_matches_specialized_tables():
+    """Generic trait-fallback path == specialized path: the Pyp tables built
+    through the explicit prob_y*prob_xy*prob_yy sum must equal those built
+    through prob_y_partial, and the converged beliefs must match enumeration
+    (reference ``test/sis_small_tree.jl:53-66``)."""
+    g = tree()
+    lam, rho = 0.3, 0.2
+    spec = SISFactorSpec(lam, rho)
+    fast = [TraceFactorSpec(spec.w, 2, int(g.degree[i])) for i in range(g.N)]
+    slow = [_RestrictedTraceFactorSpec(spec.w, 2, int(g.degree[i]))
+            for i in range(g.N)]
+    assert all(not hasattr(s, "prob_y_partial") for s in slow)
+    tf = build_tables(g, fast)
+    ts = build_tables(g, slow)
+    for a, b in zip(tf.tree_flatten()[0], ts.tree_flatten()[0]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    sis = SIS(g, lam, rho, T=2, gamma=0.4)
+    bp = mp.mpbp(g, ts, 2, D=16, phi=sis.default_phi())
+    bp, _, _ = mp.iterate(bp, maxiter=15, trunc=mp.TruncThresh(0.0), tol=1e-13)
+    p_ex, Z = exact.exact_prob(bp)
+    assert np.allclose(np.asarray(mp.beliefs(bp)),
+                       exact.exact_marginals(bp, p_ex), atol=1e-9)
+    assert np.isclose(-float(mp.bethe_free_energy(bp)), np.log(Z), atol=1e-9)

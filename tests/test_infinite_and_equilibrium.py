@@ -74,6 +74,61 @@ def test_infinite_bipartite_symmetric_equals_regular():
     assert np.isclose(f1, f2, atol=1e-8)
 
 
+def test_infinite_graph_pair_route_free_energy():
+    """Pair route on the infinite graph: per-node F via belief + pair lognorms
+    (k/2-weighted through the aliased in-edges) equals the sweep ledger, and
+    ``pair_beliefs`` logz carries the (1/(k-1) - 1/2) specialization
+    (``infinite_graph.jl:38-44``)."""
+    J, h, beta = 0.4, 0.15, 0.8
+    k = 3
+    gi = infinite_regular_graph(k)
+    tables = build_tables(gi, [HomogeneousGlauberFactorSpec(J, h, beta)])
+    bpi = mpbp_infinite_graph(k, tables, T, D=24)
+    # D=24 gives enough cavity capacity at these parameters for both the
+    # sweep ledger and the pair route to agree to 1e-8 (the identity is
+    # exact only when the k-message fold is not truncated)
+    bpi, _, _ = mp.iterate(bpi, maxiter=60, trunc=TRUNC, tol=1e-12)
+    F_pair = float(mp.bethe_free_energy_pair(bpi))
+    F = float(mp.bethe_free_energy(bpi))
+    assert np.isclose(F_pair, F, atol=1e-8), (F_pair, F)
+    _, logz = mp.pair_beliefs(bpi)
+    lz_e = float(mp.pair_lognorms(bpi)[0])
+    assert np.isclose(float(logz[0]), (1.0 / (k - 1) - 0.5) * lz_e, atol=1e-12)
+
+
+def test_periodic_infinite_graph_vs_complete():
+    """Periodic infinite k-regular == periodic K_{k+1} for beliefs and pair
+    beliefs (``test/periodic.jl:71-116``; the reference skips the periodic
+    free-energy equality — marked NOT WORKING there — and so do we)."""
+    from matrixproductbp_tpu.infinite import periodic_mpbp_infinite_graph
+    J, h, beta = 1.0, 0.0, 1.0
+    k, Tp = 3, 2
+    phi1 = np.ones((1, Tp + 1, 2))
+    phi1[0, 0] = [0.75, 0.25]
+    phi1[0, 1] = [0.4, 0.6]
+    phi1[0, 2] = [0.95, 0.05]
+    gi = infinite_regular_graph(k)
+    tables = build_tables(gi, [HomogeneousGlauberFactorSpec(J, h, beta)])
+    bpi = periodic_mpbp_infinite_graph(k, tables, Tp, D=10, phi=phi1)
+    bpi, _, _ = mp.iterate(bpi, maxiter=150, trunc=mp.TruncBond(10),
+                           tol=1e-12, damp=0.2)
+    b_inf = np.asarray(mp.beliefs(bpi))[0]
+    pb_inf = np.asarray(mp.pair_beliefs(bpi)[0])[0]
+
+    N = k + 1
+    g = mp.graph_from_edges(N, [(i, j) for i in range(N) for j in range(i)])
+    specs = [HomogeneousGlauberFactorSpec(J, h, beta)] * N
+    phiN = np.broadcast_to(phi1, (N, Tp + 1, 2)).copy()
+    bp = mp.periodic_mpbp(g, build_tables(g, specs), Tp, D=10, phi=phiN)
+    bp, _, _ = mp.iterate(bp, maxiter=150, trunc=mp.TruncBond(10), tol=1e-12,
+                          damp=0.2)
+    b_c = np.asarray(mp.beliefs(bp))[0]
+    pb_c = np.asarray(mp.pair_beliefs(bp)[0])[0]
+
+    assert np.allclose(b_inf, b_c, atol=1e-6), np.abs(b_inf - b_c).max()
+    assert np.allclose(pb_inf, pb_c, atol=1e-6)
+
+
 def test_equilibrium_population_dynamics_vs_fixed_point():
     """Population dynamics magnetization == scalar cavity fixed point on RRG
     (``test/equilibrium.jl:9-15``)."""

@@ -90,3 +90,25 @@ def test_gillespie_runs():
                                              nsamples=200, nbins=10, rng=rng)
     assert av.shape == (4, 11)
     assert np.all(av >= -1.0) and np.all(av <= 1.0)
+
+
+def test_hard_observation_log_semantics():
+    """Hard (zero-probability) observations give -inf trajectory log-weights
+    without RuntimeWarnings (the log(0)s are intentional; exact.py wraps them
+    in errstate) and exact_prob zeroes exactly the excluded trajectories."""
+    import dataclasses
+    import warnings as _w
+    import jax.numpy as jnp
+    g = mp.graph_from_edges(2, [(0, 1)])
+    sis = SIS(g, 0.4, 0.2, T=1, gamma=0.5)
+    bp = mpbp_sis(sis, D=4)
+    phi = np.asarray(bp.phi).copy()
+    phi[0, 1] = [1.0, 0.0]       # hard observation: node 0 susceptible at t=1
+    bp = dataclasses.replace(bp, phi=jnp.asarray(phi))
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        p_ex, Z = exact.exact_prob(bp)
+    assert np.isclose(p_ex.sum(), 1.0) and np.isfinite(np.log(Z))
+    X = exact._decode_all(len(p_ex), 2, 2, 2)    # [Q, N, T1]
+    assert np.all(p_ex[X[:, 0, 1] == 1] == 0.0)
+    assert p_ex[X[:, 0, 1] == 0].sum() > 0

@@ -53,13 +53,23 @@ def test_pair_marginals_match_exact(converged):
 
 
 def test_pair_logz_assembles_free_energy(converged):
-    # the pair-belief route to the Bethe free energy: F = sum_i f_i with
-    # f_i from single-site logz + pair logz contributions (mpbp.jl:218-235)
+    """Pair route to the Bethe free energy (mpbp.jl:218-235):
+    F = sum_i [-log ẑ_i + 1/2 sum_{j∈∂i} log ẑ_ij] with ẑ from the *stored*
+    messages; must equal the sweep-ledger F and -log Z_exact on a tree."""
     bp, _, Z = converged
+    F_pair = float(mp.bethe_free_energy_pair(bp))
+    F = float(mp.bethe_free_energy(bp))
+    assert np.isclose(F_pair, F, atol=1e-9)
+    assert np.isclose(-F_pair, np.log(Z), atol=1e-9)
+    # consistency of the components: node assembly with (1/d_j - 1/2) weights
+    # (the reference's pair_beliefs logz output) vs raw per-edge lognorms
     _, logz_pair = mp.pair_beliefs(bp)
-    b = np.asarray(mp.beliefs(bp))  # noqa: F841 (belief normalization done)
-    # not an identity in our bookkeeping; covered by free-energy test above
-    assert np.all(np.isfinite(np.asarray(logz_pair)))
+    lz_e = np.asarray(mp.pair_lognorms(bp))
+    dst = bp.graph.edge_dst
+    deg = np.asarray(bp.graph.degree, float)
+    expect = np.zeros(bp.N)
+    np.add.at(expect, dst, (1.0 / deg[dst] - 0.5) * lz_e)
+    assert np.allclose(np.asarray(logz_pair), expect, atol=1e-10)
 
 
 def test_autocorrelations_match_exact(converged):
