@@ -34,7 +34,7 @@ from .graph import Graph
 from .factors import RecursiveFactorTables
 from .ops.tensortrain import (
     TensorTrain, compress, normalize, normalize_eachmatrix, marginals,
-    twovar_marginals, tt_sum, flat_tt, lognorm,
+    twovar_marginals, tt_sum, flat_tt, lognorm, _safe_scale,
 )
 from .ops.mpem import mpem3_to_mpem2, mpem3_to_mpem2_periodic
 from .ops.randomized import merge_rounded
@@ -446,6 +446,196 @@ def _node_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
     return out_cores, out_lz, bel1.cores, bel1.logz, f_i
 
 
+def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
+                           msgs_out_old_lz, psi_out, mask, Py_b, Pyp_b, Pxy_b,
+                           Py0_b, phi_b, deg_b, pyy_b, trunc: SVDTrunc,
+                           Dm: int, Dc: int, damp: float, key,
+                           yy_off: int | None, stagger: int | None = None):
+    """Whole-bucket sketch update: the same math as :func:`_node_update`
+    (``method='sketch'``, open trains, time-constant tables) with the node
+    axis threaded *through* the merges instead of vmapped around them, so the
+    STTA scans run explicitly batched + software-pipelined
+    (``ops/stta.merge_stta_batched``; motivation in ``ops/pipeline.py``).
+
+    msgs_in_c: [Nb, K, T1, Dm, Dm, q*q]; tables are bucket-cropped with node
+    axis either 1 (homogeneous, broadcast) or Nb; ``pyy_b[0]`` must be shared
+    across nodes (per-node dense prob_yy falls back to :func:`_node_update`).
+    Returns (out_cores [Nb,K,...], out_logz [Nb,K], bel_cores, bel_logz, f).
+    """
+    from .ops.stta import merge_stta_batched, mpem3_stta_batched
+
+    Nb, K, T1 = msgs_in_c.shape[0], msgs_in_c.shape[1], msgs_in_c.shape[2]
+    q = phi_b.shape[-1]
+    Y = Py0_b.shape[-2]
+    dtype = msgs_in_c.dtype
+    YP = Y * q
+
+    def bc(tbl):
+        """Broadcast a node-axis-1 table to Nb (tables are tiny)."""
+        return jnp.broadcast_to(tbl, (Nb,) + tbl.shape[1:])
+
+    Py_b, Pyp_b, Pxy_b, Py0_b = map(bc, (Py_b, Pyp_b, Pxy_b, Py0_b))
+    pyy0 = pyy_b[0]                         # [K', Y, Y, Y, q] shared
+    nYY = pyy0.shape[0]
+
+    def pyy_at(d1):
+        return pyy0[min(d1, nYY - 1)]
+
+    # ---- lift incoming messages to y-space (recursive_bp_factor.jl:108-115)
+    A = msgs_in_c.reshape(Nb, K, T1, Dm, Dm, q, q)
+    B = jnp.einsum("zkyci,zktic,zktmnci->zktmnyi", Pxy_b, psi_out, A)
+    ident = jnp.zeros((Nb, T1, Dm, Dm, Y, q), dtype)
+    ident = ident.at[:, :, 0, 0].set(
+        jnp.broadcast_to(Py0_b[:, None], (Nb, T1, Y, q)))
+    B = jnp.where(mask[:, :, None, None, None, None, None], B, ident[:, None])
+    B = B.reshape(Nb, K, T1, Dm, Dm, YP)
+    Blz = jnp.where(mask, msgs_in_lz, 0.0)
+
+    def mrg(lc, llz, rc, rlz, pk):
+        return merge_stta_batched(lc, llz, rc, rlz, pk, Dc, Y, q, key,
+                                  yy_off=yy_off, stagger=stagger)
+
+    def pad_dc(c):
+        from .ops.tensortrain import _fit_axis
+        return _fit_axis(_fit_axis(c, 2, Dc), 3, Dc)
+
+    def embed_first_b(Bc_z, Blz_z):
+        """Batched _embed_first: op(init, B) — y-relabel, no bond growth."""
+        Bf = Bc_z.reshape(Nb, T1, Dm, Dm, Y, q)
+        if yy_off is not None:
+            W = y_expand(Py0_b, yy_off, axis=1, mode="diff")   # [z, Y, b, q]
+            out = jnp.einsum("zybx,ztmnbx->ztmnyx", W, Bf)
+        else:
+            W = jnp.einsum("zyabx,zax->zybx", bc(pyy_at(0)[None]), Py0_b)
+            out = jnp.einsum("zybx,ztmnbx->ztmnyx", W, Bf)
+        return out.reshape(Nb, T1, Dm, Dm, YP), Blz_z
+
+    def embed_second_b(Bc_z, Blz_z):
+        """Batched _embed_second: op(B, init)."""
+        Bf = Bc_z.reshape(Nb, T1, Dm, Dm, Y, q)
+        if yy_off is not None:
+            W = y_expand(Py0_b, yy_off, axis=1, mode="diff")
+            out = jnp.einsum("zyax,ztmnax->ztmnyx", W, Bf)
+        else:
+            W = jnp.einsum("zyabx,zbx->zyax", bc(pyy_at(1)[None]), Py0_b)
+            out = jnp.einsum("zyax,ztmnax->ztmnyx", W, Bf)
+        return out.reshape(Nb, T1, Dm, Dm, YP), Blz_z
+
+    # ---- cavity folds -------------------------------------------------------
+    if K == 1:
+        full_c, full_lz = embed_first_b(B[:, 0], Blz[:, 0])
+        full_c = pad_dc(full_c)
+        Cs_c = pad_dc(ident.reshape(Nb, T1, Dm, Dm, YP))[:, None]
+        Cs_lz = jnp.zeros((Nb, 1), dtype)
+    elif K == 2:
+        L1c, L1lz = embed_first_b(B[:, 0], Blz[:, 0])
+        R1c, R1lz = embed_second_b(B[:, 1], Blz[:, 1])
+        L1c, R1c = pad_dc(L1c), pad_dc(R1c)
+        full_c, full_lz = mrg(L1c, L1lz, B[:, 1], Blz[:, 1], pyy_at(1))
+        Cs_c = jnp.stack([R1c, L1c], axis=1)
+        Cs_lz = jnp.stack([R1lz, L1lz], axis=1)
+    elif K == 3:
+        # direct all-pairs scheme (2 merge levels; see _node_update)
+        P1c, P1lz = mrg(
+            jnp.concatenate([B[:, 1], B[:, 0]]),
+            jnp.concatenate([Blz[:, 1], Blz[:, 0]]),
+            jnp.concatenate([B[:, 2], B[:, 1]]),
+            jnp.concatenate([Blz[:, 2], Blz[:, 1]]), pyy_at(1))
+        C0c, C2c = P1c[:Nb], P1c[Nb:]
+        C0lz, C2lz = P1lz[:Nb], P1lz[Nb:]
+        C1c, C1lz = mrg(B[:, 0], Blz[:, 0], B[:, 2], Blz[:, 2], pyy_at(1))
+        full_c, full_lz = mrg(C2c, C2lz, B[:, 2], Blz[:, 2], pyy_at(2))
+        Cs_c = jnp.stack([C0c, C1c, C2c], axis=1)
+        Cs_lz = jnp.stack([C0lz, C1lz, C2lz], axis=1)
+    else:
+        # prefix/suffix folds, each fold step batched over the bucket
+        L1c, L1lz = embed_first_b(B[:, 0], Blz[:, 0])
+        L1c = pad_dc(L1c)
+        Lc, Llz = L1c, L1lz
+        Ls = []                                 # L_{k+2} for k = 0..K-2
+        for k in range(1, K):
+            Lc, Llz = mrg(Lc, Llz, B[:, k], Blz[:, k], pyy_at(k))
+            Ls.append((Lc, Llz))
+        full_c, full_lz = Lc, Llz
+        RKc, RKlz = embed_second_b(B[:, K - 1], Blz[:, K - 1])
+        RKc = pad_dc(RKc)
+        Rc, Rlz = RKc, RKlz
+        Rs = [(RKc, RKlz)]                      # R_{K-1}, R_{K-2}, ..., R_1
+        for k in range(K - 2, 0, -1):
+            Rc, Rlz = mrg(B[:, k], Blz[:, k], Rc, Rlz, pyy_at(1))
+            Rs.append((Rc, Rlz))
+        Rs = Rs[::-1]                           # Rs[j] = R_{j+1}
+        # C_0 = R_1; C_{K-1} = L_{K-1}; interior C_k = op(L_k, R_{k+1})
+        Cs = [Rs[0]]
+        for k in range(1, K - 1):
+            Cs.append(mrg(Ls[k - 1][0], Ls[k - 1][1],
+                          Rs[k][0], Rs[k][1], pyy_at(k)))
+        Cs.append(Ls[K - 2])
+        Cs_c = jnp.stack([c for c, _ in Cs], axis=1)
+        Cs_lz = jnp.stack([z for _, z in Cs], axis=1)
+
+    # ---- outgoing messages: f_bp_partial -> mpem3 sketch -> normalize ------
+    Dcc = Cs_c.shape[-3]
+    C = Cs_c.reshape(Nb, K, T1, Dcc, Dcc, Y, q)
+    main = jnp.einsum("zkpijy,zktmnyi,zti->zktmnijp",
+                      Pyp_b, C[:, :, :-1], phi_b[:, :-1])
+    lastC = jnp.einsum("zkmnyi,zi->zkmni", C[:, :, -1], phi_b[:, -1])
+    last = jnp.broadcast_to(lastC[:, :, :, :, :, None, None],
+                            (Nb, K, Dcc, Dcc, q, q, q))
+    B3 = jnp.concatenate([main, last[:, :, None]], axis=2)
+    B3 = B3.reshape(Nb * K, T1, Dcc, Dcc, q, q, q)
+    out_c, out_lz0 = mpem3_stta_batched(
+        B3, Cs_lz.reshape(Nb * K), Dm, key, stagger=stagger)
+    # batched normalize_eachmatrix + normalize
+    m = _safe_scale(jnp.max(jnp.abs(out_c), axis=(2, 3, 4)))    # [NbK, T1]
+    out_c = out_c / m[:, :, None, None, None]
+    out_lz0 = out_lz0 - jnp.sum(jnp.log(m), axis=1)
+    mu_n, logz_ks = jax.vmap(
+        lambda c, z: normalize(TensorTrain(c, z, (q, q))))(out_c, out_lz0)
+    out_cores, out_lz = mu_n.cores, mu_n.logz
+    if damp > 0.0:
+        def damp_one(c, z, oc, oz):
+            old = TensorTrain(oc, oz, (q, q))
+            mixed = tt_sum(TensorTrain(c, z, (q, q)), old,
+                           damp / (1.0 - damp))
+            mixed = compress(mixed, trunc, Dout=Dm)
+            mixed, _ = normalize(mixed)
+            return mixed.cores, mixed.logz
+        out_cores, out_lz = jax.vmap(damp_one)(
+            out_cores, out_lz,
+            msgs_out_old_c.reshape((Nb * K,) + msgs_out_old_c.shape[2:]),
+            msgs_out_old_lz.reshape(Nb * K))
+    out_cores = out_cores.reshape((Nb, K) + out_cores.shape[1:])
+    out_lz = out_lz.reshape(Nb, K)
+    logz_ks = logz_ks.reshape(Nb, K)
+    sum_logz = jnp.sum(jnp.where(mask, logz_ks, 0.0), axis=1)
+
+    # ---- belief from the full fold ------------------------------------------
+    Dcf = full_c.shape[-3]
+    Cf = full_c.reshape(Nb, T1, Dcf, Dcf, Y, q)
+    mainb = jnp.einsum("zpiy,ztmnyi,zti->ztmnip", Py_b, Cf[:, :-1],
+                       phi_b[:, :-1])
+    lastb = jnp.einsum("zmnyi,zi->zmni", Cf[:, -1], phi_b[:, -1])
+    lastb = jnp.broadcast_to(lastb[:, :, :, :, None], (Nb, Dcf, Dcf, q, q))
+    B3b = jnp.concatenate([mainb, lastb[:, None]], axis=1)
+    B3b = B3b[:, :, :, :, :, None, :]           # qj = 1 dummy leg
+    bel_c, bel_lz0 = mpem3_stta_batched(B3b, full_lz, Dm, key,
+                                        stagger=stagger)
+    # marginalize the dummy leg: cores are [Nb, T1, Dm, Dm, q*1]
+    bel1_c = bel_c.reshape(Nb, T1, Dm, Dm, q)
+    bel1, logz_i = jax.vmap(
+        lambda c, z: normalize(TensorTrain(c, z, (q,))))(bel1_c, bel_lz0)
+
+    d_i = deg_b.astype(dtype)
+    f_i = (d_i / 2.0 - 1.0) * logz_i - 0.5 * sum_logz
+    return out_cores, out_lz, bel1.cores, bel1.logz, f_i
+
+
+#: minimum bucket size for the explicitly batched sketch path: below this the
+#: sweep is latency-bound either way (PERF.md) and the vmap path compiles less
+_BATCH_MIN_NODES = 256
+
+
 def _degree_buckets(graph: Graph):
     """Static degree buckets for the sweep: [(node_idx, K_b)] with K_b the
     slot padding of the bucket.
@@ -542,6 +732,26 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
         # batch; above ~4k nodes per bucket its working set exceeds one
         # chip's HBM, so large buckets take the prefix/suffix scheme
         direct_k3 = Nb <= 4096
+
+        # explicitly batched + software-pipelined sketch path: the STTA
+        # scans run over the whole bucket at once (ops/pipeline.py) instead
+        # of being vmapped per node.  Small buckets stay on the vmap path
+        # (latency-bound either way; bounds compile size for rare degrees).
+        if (method == "sketch" and not bp.periodic and not tv
+                and (yy_off is not None or tb.Pyy.shape[0] == 1)
+                and Nb >= _BATCH_MIN_NODES):
+            out_c, out_lz, bel_c, bel_lz, f = _bucket_update_batched(
+                msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
+                psi_out, in_m, Py_b, Pyp_b, Pxy_b, Py0_b, bp.phi[nb],
+                ga.degree[nb], Pyy_b, trunc, Dm, Dcav, damp, key, yy_off)
+            flat_idx = out_e.reshape(-1)
+            new_cores = new_cores.at[flat_idx].set(
+                out_c.reshape((Nb * Kb,) + out_c.shape[2:]), mode="drop")
+            new_lz = new_lz.at[flat_idx].set(out_lz.reshape(-1), mode="drop")
+            bel_c_all = bel_c_all.at[nb].set(bel_c)
+            bel_lz_all = bel_lz_all.at[nb].set(bel_lz)
+            f_all = f_all.at[nb].set(f)
+            continue
 
         def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph,
                     dg, pyy):

@@ -32,12 +32,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .pipeline import staggered_scan
 from .smallalg import spd_solve_unrolled
 from .sumy import y_expand
 from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
     normalize_eachmatrix
 
-__all__ = ["merge_stta", "mpem3_stta"]
+__all__ = ["merge_stta", "mpem3_stta", "merge_stta_batched",
+           "mpem3_stta_batched"]
 
 
 def _solve_batched(M, N, eps):
@@ -262,3 +264,254 @@ def mpem3_stta(B3, logz, Dout: int, key, oversample: int = 4,
     cores = jnp.concatenate([first[None], Bsol[:-1], last[None]], axis=0)
     cores = _fit_axis(_fit_axis(cores, 1, Dout), 2, Dout)
     return TensorTrain(cores, logz, (qi, qj))
+
+
+# ---------------------------------------------------------------------------
+# explicitly batched + software-pipelined variants
+# ---------------------------------------------------------------------------
+#
+# Same algebra as merge_stta / mpem3_stta but with an explicit leading
+# instance axis and G-way staggered time scans (ops/pipeline.py): the per-step
+# einsums of *all* instances (and of G consecutive time steps) execute as one
+# wave, so the latency-bound dependent chain (PERF.md) becomes
+# throughput-bound.  The vmap-per-node forms above are kept for the periodic
+# and halo paths; results agree to dtype precision (same sketches, same
+# contractions — gated by tests/test_methods_consistency.py).
+
+def _stagger_for(B: int, G: int | None):
+    """Pick the stagger width: amortize per-step latency without inflating
+    the (S+G-1)/S iteration overhead.  Instances below ~256 stay latency-
+    bound anyway (measured batch-independence floor, PERF.md)."""
+    if G is not None:
+        g = G
+    elif B >= 2048:
+        g = 4
+    elif B >= 512:
+        g = 2
+    else:
+        g = 1
+    while g > 1 and B % g:
+        g -= 1
+    return g
+
+
+def _group(a, G):
+    """[S, B, ...] -> [S, G, B//G, ...]"""
+    return a.reshape(a.shape[:1] + (G, a.shape[1] // G) + a.shape[2:])
+
+
+def _ungroup_t(a):
+    """[S, G, Bg, ...] -> [S, G*Bg, ...]"""
+    return a.reshape(a.shape[:1] + (a.shape[1] * a.shape[2],) + a.shape[3:])
+
+
+def merge_stta_batched(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
+                       oversample: int = 4, yy_off: int | None = None,
+                       stagger: int | None = None):
+    """Batched cavity merge: Lc [B, T1, DL, DL, Y*q] (x) Bc [B, T1, DB, DB,
+    Y*q] -> ([B, T1, Dout, Dout, Y*q], logz [B]).
+
+    ``pyy`` is shared across instances: [Y, Y, Y, q] (dense) — or a
+    placeholder when ``yy_off`` selects the banded sum-type merge.  Same
+    sketches for every instance (matching the vmapped :func:`merge_stta`).
+    """
+    Bn, T1, DL = Lc.shape[0], Lc.shape[1], Lc.shape[2]
+    DB = Bc.shape[2]
+    P = Y * q
+    dtype = Lc.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, DL * DB)
+    sl = min(sr + oversample, DL * DB)
+    S = T1 - 1
+    G = _stagger_for(Bn, stagger)
+    Bg = Bn // G
+
+    Lf = Lc.reshape(Bn, T1, DL, DL, Y, q)
+    Bf = Bc.reshape(Bn, T1, DB, DB, Y, q)
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, Y, q), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, Y, q), dtype)
+
+    # time-major, flat trailing dims for everything a scan touches (tiled-
+    # layout padding, see merge_stta)
+    Lfl = jnp.moveaxis(Lc, 0, 1).reshape(T1, Bn, DL * DL * P)
+    Bfl = jnp.moveaxis(Bc, 0, 1).reshape(T1, Bn, DB * DB * P)
+
+    # psi (.) pyy pre-mix shared across instances: Th[t,a,b,u,v,x]
+    if yy_off is None:
+        Th = jnp.einsum("tabyx,yuvx->tabuvx", psi, pyy)
+    else:
+        Th = y_expand(psi, yy_off, axis=3, mode="sum")
+
+    # ---- right sketches W_t [DL, DB, sr] -----------------------------------
+    def wstep(Wflat, xb, xsh):
+        Ltf, Btf = xb
+        Tht, = xsh
+        Lt = Ltf.reshape(G, Bg, DL, DL, Y, q)
+        Bt = Btf.reshape(G, Bg, DB, DB, Y, q)
+        W = Wflat.reshape(G, Bg, DL, DB, sr)
+        t1 = jnp.einsum("gzmnvx,gzlnb->gzmlvxb", Bt, W)
+        u = jnp.einsum("gabuvx,gzmlvxb->gzmluxa", Tht, t1)
+        W2 = jnp.einsum("gzklux,gzmluxa->gzkma", Lt, u)
+        W2 = W2 / _safe_scale(
+            jnp.max(jnp.abs(W2), axis=(2, 3, 4), keepdims=True))
+        W2f = W2.reshape(G, Bg, DL * DB * sr)
+        return W2f, W2f
+
+    W_end = jnp.zeros((DL * DB * sr,), dtype).at[0].set(1.0)
+    W_init = jnp.broadcast_to(W_end, (G, Bg, DL * DB * sr))
+    _, Ws = staggered_scan(
+        wstep, W_init, (_group(Lfl[1:], G), _group(Bfl[1:], G)), (Th[1:],),
+        S, G, reverse=True)
+    # Ws[t] = W_{t+1} (sketch of sites t+1..) for t = 0..T1-2; [S, G, Bg, F]
+
+    # ---- site-0 boundary ----------------------------------------------------
+    if yy_off is None:
+        c0 = jnp.einsum("yuvx,znux,zjvx->znjyx", pyy, Lf[:, 0, 0], Bf[:, 0, 0])
+    else:
+        LT = y_expand(Lf[:, 0, 0], yy_off, axis=2, mode="diff")  # [z,n,y,v,x]
+        c0 = jnp.einsum("znyvx,zjvx->znjyx", LT, Bf[:, 0, 0])
+    S_init = jnp.einsum("fyx,znjyx->zfnj", phi[0, 0], c0)
+    S_init = S_init / _safe_scale(
+        jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
+    S_init = S_init.reshape(G, Bg, sl * DL * DB)
+
+    # ---- forward pass: carry S_{t-1}; emit (N_t, M_{t-1}) ------------------
+    def fstep(Sflat, xb, xsh):
+        Ltf, Btf, Wtf, Wt1f = xb
+        Ft, Pyyt = xsh
+        Lt = Ltf.reshape(G, Bg, DL, DL, Y, q)
+        Bt = Btf.reshape(G, Bg, DB, DB, Y, q)
+        Wt = Wtf.reshape(G, Bg, DL, DB, sr)
+        Wt1 = Wt1f.reshape(G, Bg, DL, DB, sr)
+        Sm = Sflat.reshape(G, Bg, sl, DL, DB)
+        Mt = jnp.einsum("gzekm,gzkma->gzea", Sm, Wt)
+        t1 = jnp.einsum("gzekm,gzknux->gzenmux", Sm, Lt)
+        if yy_off is None:
+            z1 = jnp.einsum("gyuvx,gzenmux->gzenmyvx", Pyyt, t1)
+        else:
+            z1 = y_expand(t1, yy_off, axis=5, mode="diff")
+        t2 = jnp.einsum("gzenmyvx,gzmjvx->gzenjyx", z1, Bt)
+        Nt = jnp.einsum("gzenjyx,gznjb->gzeyxb", t2, Wt1)
+        S2 = jnp.einsum("gefyx,gzenjyx->gzfnj", Ft, t2)
+        S2 = S2 / _safe_scale(
+            jnp.max(jnp.abs(S2), axis=(2, 3, 4), keepdims=True))
+        return S2.reshape(G, Bg, sl * DL * DB), (
+            Nt.reshape(G, Bg, sl * P * sr), Mt.reshape(G, Bg, sl * sr))
+
+    W_last = jnp.zeros((1, G, Bg, DL * DB * sr), dtype).at[..., 0].set(1.0)
+    Wnext = jnp.concatenate([Ws[1:], W_last], axis=0)      # W_{t+1}, t=1..T1-1
+    if yy_off is None:
+        pyy_t = jnp.broadcast_to(pyy, (T1,) + pyy.shape)
+    else:
+        pyy_t = jnp.zeros((T1, 1), dtype)
+    _, (Ns, Ms) = staggered_scan(
+        fstep, S_init,
+        (_group(Lfl[1:], G), _group(Bfl[1:], G), Ws, Wnext),
+        (phi[1:], pyy_t[1:]), S, G)
+    Ns = jnp.moveaxis(_ungroup_t(Ns), 0, 1)     # [B, S, sl*P*sr]
+    Ms = jnp.moveaxis(_ungroup_t(Ms), 0, 1).reshape(Bn, S, sl, sr)
+
+    # ---- first core ---------------------------------------------------------
+    Ws0 = _ungroup_t(Ws)[0].reshape(Bn, DL, DB, sr)
+    v0 = jnp.einsum("znjyx,znjb->zbyx", c0, Ws0).reshape(Bn, sr, P)
+    first = jnp.zeros((Bn, sr, sr, P), dtype).at[:, 0].set(v0)
+
+    # ---- interior + last cores via one batched solve -----------------------
+    Bsol = _solve_batched(Ms, Ns.reshape(Bn, S, sl, P * sr), eps)
+    Bsol = Bsol.reshape(Bn, S, sr, P, sr).transpose(0, 1, 2, 4, 3)
+    last = jnp.zeros((Bn, sr, sr, P), dtype)
+    last = last.at[:, :, 0, :].set(Bsol[:, -1][:, :, 0, :])
+    cores = jnp.concatenate([first[:, None], Bsol[:, :-1], last[:, None]],
+                            axis=1)
+    cores = _fit_axis(_fit_axis(cores, 2, Dout), 3, Dout)
+    # batched normalize_eachmatrix
+    m = _safe_scale(jnp.max(jnp.abs(cores), axis=(2, 3, 4)))     # [B, T1]
+    cores = cores / m[:, :, None, None, None]
+    logz = Llz + Blz - jnp.sum(jnp.log(m), axis=1)
+    return cores, logz
+
+
+def mpem3_stta_batched(B3, logz, Dout: int, key, oversample: int = 4,
+                       stagger: int | None = None):
+    """Batched MPEM3 -> bond-Dout MPEM2: B3 [B, T1, Db, Db, qi, qj, qi'] ->
+    (cores [B, T1, Dout, Dout, qi*qj], logz [B]).  Same sketches for every
+    instance (matching the vmapped :func:`mpem3_stta`)."""
+    Bn, T1, Db, _, qi, qj, _ = B3.shape
+    P = qi * qj
+    dtype = B3.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, Db * qi)
+    sl = min(sr + oversample, max(Db * qi, 1))
+    S = T1 - 1
+    G = _stagger_for(Bn, stagger)
+    Bg = Bn // G
+
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
+
+    B3f = jnp.moveaxis(B3, 0, 1).reshape(T1, Bn, Db * Db * qi * qj * qi)
+
+    # ---- right sketches W_t [Db, qi(link), sr] ------------------------------
+    def wstep(Wflat, xb, xsh):
+        Btf, = xb
+        Pt, = xsh
+        Bt = Btf.reshape(G, Bg, Db, Db, qi, qj, qi)
+        W = Wflat.reshape(G, Bg, Db, qi, sr)
+        t1 = jnp.einsum("gzmnijr,gznrc->gzmijc", Bt, W)
+        W2 = jnp.einsum("gzmijc,gbcij->gzmib", t1, Pt)
+        W2 = W2 / _safe_scale(
+            jnp.max(jnp.abs(W2), axis=(2, 3, 4), keepdims=True))
+        W2f = W2.reshape(G, Bg, Db * qi * sr)
+        return W2f, W2f
+
+    W_end = jnp.zeros((Db * qi * sr,), dtype).at[0].set(1.0)
+    W_init = jnp.broadcast_to(W_end, (G, Bg, Db * qi * sr))
+    _, Ws = staggered_scan(wstep, W_init, (_group(B3f[1:], G),), (psi[1:],),
+                           S, G, reverse=True)
+
+    # ---- forward pass -------------------------------------------------------
+    def fstep(Sflat, xb, xsh):
+        Btf, Wtf, Wt1f = xb
+        Ft, = xsh
+        Bt = Btf.reshape(G, Bg, Db, Db, qi, qj, qi)
+        Wt = Wtf.reshape(G, Bg, Db, qi, sr)
+        Wt1 = Wt1f.reshape(G, Bg, Db, qi, sr)
+        Sm = Sflat.reshape(G, Bg, sl, Db, qi)
+        Mt = jnp.einsum("gzemi,gzmib->gzeb", Sm, Wt)
+        t1 = jnp.einsum("gzemi,gzmnijr->gzenijr", Sm, Bt)
+        Nt = jnp.einsum("gzenijr,gznrb->gzeijb", t1, Wt1)
+        S2 = jnp.einsum("gzenijr,gefij->gzfnr", t1, Ft)
+        S2 = S2 / _safe_scale(
+            jnp.max(jnp.abs(S2), axis=(2, 3, 4), keepdims=True))
+        return S2.reshape(G, Bg, sl * Db * qi), (
+            Nt.reshape(G, Bg, sl * P * sr), Mt.reshape(G, Bg, sl * sr))
+
+    S_init = jnp.einsum("fij,znijr->zfnr", phi[0, 0], B3[:, 0, 0])
+    S_init = S_init / _safe_scale(
+        jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
+    S_init = S_init.reshape(G, Bg, sl * Db * qi)
+    W_last = jnp.zeros((1, G, Bg, Db * qi * sr), dtype).at[..., 0].set(1.0)
+    Wnext = jnp.concatenate([Ws[1:], W_last], axis=0)
+    _, (Ns, Ms) = staggered_scan(
+        fstep, S_init, (_group(B3f[1:], G), Ws, Wnext), (phi[1:],), S, G)
+    Ns = jnp.moveaxis(_ungroup_t(Ns), 0, 1)
+    Ms = jnp.moveaxis(_ungroup_t(Ms), 0, 1).reshape(Bn, S, sl, sr)
+
+    # ---- first core ---------------------------------------------------------
+    Ws0 = _ungroup_t(Ws)[0].reshape(Bn, Db, qi, sr)
+    c0 = jnp.einsum("znijr,znrb->zijb", B3[:, 0, 0], Ws0)
+    first = jnp.zeros((Bn, sr, sr, P), dtype)
+    first = first.at[:, 0].set(
+        c0.reshape(Bn, P, sr).transpose(0, 2, 1))
+
+    # ---- interior + last via one batched solve ------------------------------
+    Bsol = _solve_batched(Ms, Ns.reshape(Bn, S, sl, P * sr), eps)
+    Bsol = Bsol.reshape(Bn, S, sr, P, sr).transpose(0, 1, 2, 4, 3)
+    last = jnp.zeros((Bn, sr, sr, P), dtype)
+    last = last.at[:, :, 0, :].set(Bsol[:, -1][:, :, 0, :])
+    cores = jnp.concatenate([first[:, None], Bsol[:, :-1], last[:, None]],
+                            axis=1)
+    cores = _fit_axis(_fit_axis(cores, 2, Dout), 3, Dout)
+    return cores, logz

@@ -362,11 +362,15 @@ def orthogonalize_left(tt: TensorTrain) -> TensorTrain:
     def step(carry, core):
         C, lg = carry                       # C: [D, D] to absorb on left bond
         core = jnp.einsum("km,mnp->knp", C, core)
-        M = core.transpose(0, 2, 1).reshape(D * P, D)
+        # pre-scale to max-abs 1: jax 0.9.0's CPU QR can emit NaN on highly
+        # sparse structured inputs at specific absolute scales (observed on a
+        # finite [576, 144] Kron core; numpy QR is fine, any rescale fixes it)
+        m0 = _safe_scale(jnp.max(jnp.abs(core)))
+        M = (core / m0).transpose(0, 2, 1).reshape(D * P, D)
         Q, Rm = jnp.linalg.qr(M)            # Q: [D*P, D], Rm: [D, D]
         m = _safe_scale(jnp.max(jnp.abs(Rm)))
         new_core = Q.reshape(D, P, D).transpose(0, 2, 1)
-        return (Rm / m, lg - jnp.log(m)), new_core
+        return (Rm / m, lg - jnp.log(m) - jnp.log(m0)), new_core
 
     init = (jnp.eye(D, dtype=tt.dtype), tt.logz)
     (C, lg), cores = jax.lax.scan(step, init, tt.cores[:-1])
@@ -383,11 +387,14 @@ def orthogonalize_right(tt: TensorTrain) -> TensorTrain:
     def step(carry, core):
         C, lg = carry                       # absorb on right bond
         core = jnp.einsum("mnp,nk->mkp", core, C)
-        M = core.transpose(0, 2, 1).reshape(D, P * D)   # [m, (p, n)]
+        # pre-scale to max-abs 1 (see orthogonalize_left: jax CPU QR NaN
+        # workaround + conditioning)
+        m0 = _safe_scale(jnp.max(jnp.abs(core)))
+        M = (core / m0).transpose(0, 2, 1).reshape(D, P * D)  # [m, (p, n)]
         Q, Rm = jnp.linalg.qr(M.T)          # M^T = Q R  =>  M = R^T Q^T
         m = _safe_scale(jnp.max(jnp.abs(Rm)))
         new_core = Q.T.reshape(D, P, D).transpose(0, 2, 1)
-        return (Rm.T / m, lg - jnp.log(m)), new_core
+        return (Rm.T / m, lg - jnp.log(m) - jnp.log(m0)), new_core
 
     init = (jnp.eye(D, dtype=tt.dtype), tt.logz)
     (C, lg), cores = jax.lax.scan(step, init, tt.cores[1:], reverse=True)

@@ -378,6 +378,16 @@ def _node_update_jit(msgs_in, psi_out, Py_i, Pyp_i, Pxy_i, Py0_i, Pyy_i,
     return tuple(outs), bel, f_i
 
 
+def _dense_pyy_from_off(off: int, Y: int, q: int) -> np.ndarray:
+    """Densify the banded sum-type merge ``prob_yy(y, y1, y2) = (y ==
+    y1 + y2 - off)`` (``glauber_bp.jl:44,80,170``) for the stationary path,
+    whose graphs are small enough that the O(Y^3) table is immaterial."""
+    y = np.arange(Y)
+    p = (y[:, None, None] == y[None, :, None] + y[None, None, :] - off)
+    return np.broadcast_to(p.astype(float)[None, :, :, :, None],
+                           (1, Y, Y, Y, q)).copy()
+
+
 def _stationary_node_update(bp: MPBPStationary, i: int, trunc: TruncVUMPS):
     """onebpiter! for the stationary mode (same structure as the finite-T
     node update; single cores, no compression in the cavity fold)."""
@@ -391,11 +401,15 @@ def _stationary_node_update(bp: MPBPStationary, i: int, trunc: TruncVUMPS):
     msgs_in = tuple(bp.msgs[e] for e in e_ins)
     psi_out = jnp.asarray(np.stack([bp.psi[e] for e in e_outs])) if d else \
         jnp.zeros((0, q, q))
+    if tb.yy_off is not None:
+        Pyy_i = jnp.asarray(_dense_pyy_from_off(tb.yy_off, Y, q))
+    else:
+        Pyy_i = tb.Pyy[i % tb.Pyy.shape[0]]
     outs, bel, f_i = _node_update_jit(
         msgs_in, psi_out,
         tb.Py[i % tb.Py.shape[0]], tb.Pyp[i % tb.Pyp.shape[0]],
         tb.Pxy[i % tb.Pxy.shape[0]], tb.Py0[i % tb.Py0.shape[0]],
-        tb.Pyy[i % tb.Pyy.shape[0]],
+        Pyy_i,
         jnp.asarray(bp.phi[i]), d, q, Y, trunc)
     for s, e in enumerate(e_outs):
         bp.msgs[e] = outs[s]
