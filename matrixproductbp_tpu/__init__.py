@@ -64,5 +64,7 @@ from .sampling import (SoftMarginSampler, sample, sample_one, marginals_mc,
                        pair_marginals_mc, means_mc, autocorrelations_mc,
                        autocovariances_mc, draw_node_observations,
                        simulate_queue_sis, continuous_sis_sampler)
+from . import smc
+from .smc import smc_sample
 
 __version__ = "0.1.0"

@@ -281,13 +281,16 @@ def mpem3_stta(B3, logz, Dout: int, key, oversample: int = 4,
 def _stagger_for(B: int, G: int | None):
     """Pick the stagger width: amortize per-step latency without inflating
     the (S+G-1)/S iteration overhead.  Instances below ~256 stay latency-
-    bound anyway (measured batch-independence floor, PERF.md)."""
-    if G is not None:
+    bound anyway (measured batch-independence floor, PERF.md).
+
+    ``MPBP_STAGGER`` (env, read at trace time) overrides the heuristic —
+    perf-experiment knob only."""
+    import os
+    env = os.environ.get("MPBP_STAGGER")
+    if env is not None:
+        g = int(env)
+    elif G is not None:
         g = G
-    elif B >= 2048:
-        g = 4
-    elif B >= 512:
-        g = 2
     else:
         g = 1
     while g > 1 and B % g:

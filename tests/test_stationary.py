@@ -83,3 +83,27 @@ def test_stationary_sis_matches_long_horizon_bp():
     b_stat = st.beliefs_stationary(sbp)[0]
     assert np.allclose(b_stat, b_late, atol=1e-2), (b_stat, b_late)
     assert overlaps[-1] < 1e-5
+
+
+def test_stationary_sis_golden_fixed_point():
+    """Golden-number regression of the stationary SIS fixed point, the
+    stationary analogue of the reference's 16-digit finite-T anchor
+    (``test/sis_infinite_graph.jl:14-29``).  Anchors (this implementation,
+    f64, converged to delta < 1e-13):
+
+        D=12: b_S = 0.5600047320179407
+        D=16: b_S = 0.5600046958743625   (truncation-converged to ~4e-8)
+
+    Cross-checks: (a) finite-T mid-horizon belief at T=96 agrees to 1.7e-5
+    (boundary decay ~exp(-T/2*rho) = 7e-5); (b) free dynamics => Z = 1 =>
+    stationary Bethe free energy is exactly 0."""
+    k, lam, rho = 3, 0.1, 0.2
+    g = infinite_regular_graph(k)
+    tables = build_tables(g, [SISFactorSpec(lam, rho, alpha=0.05)])
+    sbp = st.mpbp_stationary_infinite_graph(k, tables)
+    sbp, iters, deltas, _ = st.iterate_stationary(
+        sbp, maxiter=200, trunc=st.TruncVUMPS(12), tol=1e-14)
+    b = st.beliefs_stationary(sbp)[0].reshape(-1)
+    assert abs(float(b[0]) - 0.5600047320179407) < 1e-9, b
+    # free-dynamics identity: Z = 1 => F = 0 (to truncation error)
+    assert abs(st.bethe_free_energy_stationary(sbp)) < 1e-7
