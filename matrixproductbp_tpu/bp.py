@@ -463,6 +463,7 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
     Returns (out_cores [Nb,K,...], out_logz [Nb,K], bel_cores, bel_logz, f).
     """
     from .ops.stta import merge_stta_batched, mpem3_stta_batched
+    from .ops import fused_stta
 
     Nb, K, T1 = msgs_in_c.shape[0], msgs_in_c.shape[1], msgs_in_c.shape[2]
     q = phi_b.shape[-1]
@@ -492,6 +493,12 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
     Blz = jnp.where(mask, msgs_in_lz, 0.0)
 
     def mrg(lc, llz, rc, rlz, pk):
+        # Pallas fused scans on TPU (ops/fused_stta.py); XLA scans otherwise
+        if fused_stta.fused_supported(lc.shape[2], rc.shape[2], Y, q, Dc,
+                                      lc.dtype):
+            return fused_stta.merge_stta_fused(
+                lc, llz, rc, rlz, pk, Dc, Y, q, key, yy_off=yy_off,
+                interpret=fused_stta._FORCE_INTERPRET)
         return merge_stta_batched(lc, llz, rc, rlz, pk, Dc, Y, q, key,
                                   yy_off=yy_off, stagger=stagger)
 
@@ -733,13 +740,20 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
         # chip's HBM, so large buckets take the prefix/suffix scheme
         direct_k3 = Nb <= 4096
 
-        # explicitly batched + software-pipelined sketch path: the STTA
-        # scans run over the whole bucket at once (ops/pipeline.py) instead
-        # of being vmapped per node.  Small buckets stay on the vmap path
-        # (latency-bound either way; bounds compile size for rare degrees).
+        # explicitly batched sketch path: the STTA scans run over the whole
+        # bucket at once, fused into Pallas kernels on TPU
+        # (ops/fused_stta.py).  Taken only when the fused kernels apply —
+        # the pure-XLA batched fallback measures *slower* than the vmap path
+        # (per-op latency is batch-independent at these sizes, PERF.md), so
+        # without them large buckets keep the vmapped per-node update.  A
+        # threshold of <= 1 (tests) forces the batched path regardless.
+        from .ops import fused_stta
+        fused_ok = fused_stta.fused_supported(
+            max(Dm, Dcav), max(Dm, Dcav), Yb, q, Dcav, bp.msg_cores.dtype)
         if (method == "sketch" and not bp.periodic and not tv
                 and (yy_off is not None or tb.Pyy.shape[0] == 1)
-                and Nb >= _BATCH_MIN_NODES):
+                and Nb >= _BATCH_MIN_NODES
+                and (fused_ok or _BATCH_MIN_NODES <= 1)):
             out_c, out_lz, bel_c, bel_lz, f = _bucket_update_batched(
                 msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
                 psi_out, in_m, Py_b, Pyp_b, Pxy_b, Py0_b, bp.phi[nb],

@@ -1,0 +1,397 @@
+"""Fused Pallas TPU kernels for the STTA sketch scans — the hot path.
+
+Why (measured, PERF.md): the ``method='sketch'`` sweep is a chain of
+``lax.scan``s whose per-step arithmetic is 4-6 small dependent einsums.  Each
+XLA einsum at these operand sizes carries a fixed ~1-2 ms cost (HBM
+round-trips of padded small-trailing-dim layouts + serial dependence), so one
+scan step costs ~9 ms while its arithmetic, run as an independent batch, costs
+~2.4 ms — the sweep is op-latency-bound, ~0.04% of f32 peak.  Batching and
+software-pipelining at the XLA level do not help (same per-wave op sizes;
+measured regressions, see ``vmaptest.py`` / ``stagger_ablate``).
+
+The fix is to run the *entire time scan inside one Pallas kernel*: the node
+batch rides the 128-wide lane dimension, the sketch carries (``W``/``S``) live
+in VMEM scratch across grid steps, per-step inputs stream HBM->VMEM through
+the automatic block pipeline, and every contraction over the small per-node
+axes (bond <= ~12, y/q <= ~4, sketch <= ~16) unrolls into vectorized VPU
+multiply-accumulates over the lanes; contractions against *shared* operands
+(the random sketches, ``prob_yy``) use the MXU.  Intermediates never touch
+HBM, and per-step op dispatch disappears entirely.
+
+Kernels mirror ``ops/stta.merge_stta_batched`` / ``mpem3_stta_batched``
+exactly (same sketches, same contraction algebra, same per-instance
+rescaling), so the consistency gates compare the two paths directly.  The
+XLA paths remain for CPU, f64 (accuracy gates), periodic trains, and shapes
+outside the VMEM budget.
+
+No reference counterpart: the Julia reference compresses with per-step LAPACK
+SVDs inside a sequential node loop (``recursive_bp_factor.jl:146-165``,
+``mpems.jl:67-94``); both the streaming-sketch algorithm and its fusion are
+TPU-native design.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sumy import y_expand
+from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
+    normalize_eachmatrix
+
+__all__ = ["merge_stta_fused", "fused_supported"]
+
+try:  # Pallas imports fail gracefully on builds without TPU support
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+_LANES = 128
+#: VMEM budget (bytes) for the transient intermediates of one F-step block.
+#: v5e has 128 MiB of physical VMEM; we raise Mosaic's default scoped limit
+#: (16 MiB) via ``vmem_limit_bytes`` below and gate admission on the analytic
+#: estimate times a 4x worst-case tile-padding factor (tiny second-minor dims
+#: pad (2,128)->(8,128)) staying under it, leaving headroom for the
+#: double-buffered input streams.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_BUDGET = 64 * 1024 * 1024
+_PAD_FACTOR = 4
+
+#: test hook: force the fused path in interpreter mode on CPU (monkeypatched
+#: by tests/test_fused_stta.py so the sweep wiring is exercised off-TPU).
+_FORCE_INTERPRET = False
+
+
+def _f_intermediates_bytes(DL, DB, Y, q, sr, sl):
+    t1 = sl * DL * DB * Y * q
+    t2 = sl * DL * DB * Y * q
+    s2 = sl * DL * DB
+    blocks = 2 * (DL * DL + DB * DB) * Y * q + 4 * DL * DB * sr
+    return 4 * _LANES * (t1 + t2 + 2 * s2 + blocks)
+
+
+def fused_supported(DL: int, DB: int, Y: int, q: int, Dout: int, dtype,
+                    oversample: int = 4) -> bool:
+    """Can the fused kernels run this merge? (TPU, f32, VMEM budget, env)."""
+    if not _HAVE_PALLAS or os.environ.get("MPBP_FUSED", "1") == "0":
+        return False
+    sr = min(Dout, DL * DB)
+    sl = min(sr + oversample, DL * DB)
+    fits = (_PAD_FACTOR * _f_intermediates_bytes(DL, DB, Y, q, sr, sl)
+            <= _VMEM_BUDGET)
+    if _FORCE_INTERPRET:
+        return fits
+    if jax.default_backend() != "tpu":
+        return False
+    if dtype != jnp.float32:
+        return False
+    return fits
+
+
+def _pad_lanes(x, axis):
+    n = x.shape[axis]
+    npad = max(_LANES, ((n + _LANES - 1) // _LANES) * _LANES)
+    if npad == n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, npad - n)
+    return jnp.pad(x, pad)
+
+
+def _onehot000(DL, DB, sr, dtype):
+    """e0 boundary sketch: 1.0 at (0, 0, 0), lanes-broadcast."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (DL, DB, sr, _LANES), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (DL, DB, sr, _LANES), 1)
+    a = jax.lax.broadcasted_iota(jnp.int32, (DL, DB, sr, _LANES), 2)
+    return ((k == 0) & (m == 0) & (a == 0)).astype(dtype)
+
+
+def _lane_scale(x, axes):
+    """per-lane max-abs rescale (batched ``_safe_scale`` semantics)."""
+    m = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
+    ok = jnp.isfinite(m) & (m > 0)
+    return jnp.where(ok, m, jnp.ones_like(m))
+
+
+# ---------------------------------------------------------------------------
+# cavity-merge kernels
+# ---------------------------------------------------------------------------
+
+def _merge_wstep_kernel(lt, bt, th, ws_out, w_scr, *, DL, DB, Y, q, sr):
+    """One reverse-sketch step for a 128-node lane block.
+
+    lt: [1, DL, DL, Y, q, L]  (time row t+1 of the L train)
+    bt: [1, DB, DB, Y, q, L]
+    th: [1, sr(b), Y(v), Y(u), q(x), sr(a)]  psi (.) pyy premix, shared
+    ws_out: [1, DL, DB, sr, L]     emitted W_{t+1}
+    w_scr:  [DL, DB, sr, L]        carry (W of sites t+2..)
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        w_scr[:] = _onehot000(DL, DB, sr, w_scr.dtype)
+
+    Lt = lt[0]
+    Bt = bt[0]
+    Th = th[0]
+    W = w_scr[:]                                    # [l, n, b, L]
+
+    # t1[m,l,v,x,b] = sum_n Bt[m,n,v,x] W[l,n,b]
+    t1 = None
+    for n in range(DB):
+        c = (Bt[:, n, :, :, :][:, None, :, :, None, :]
+             * W[:, n, :, :][None, :, None, None, :, :])
+        t1 = c if t1 is None else t1 + c
+
+    # u[m,l,u,x,a] = sum_{v,b} Th[a,b,u,v,x] t1[m,l,v,x,b]
+    u = None
+    for v in range(Y):
+        for b in range(sr):
+            ths = Th[b, v]                          # [u, x, a]
+            c = (ths[None, None, :, :, :, None]
+                 * t1[:, :, v, :, b, :][:, :, None, :, None, :])
+            u = c if u is None else u + c
+
+    # W2[k,m,a] = sum_{n,u,x} Lt[k,n,u,x] u[m,n,u,x,a]
+    w2 = None
+    for n in range(DL):
+        for uu in range(Y):
+            for x in range(q):
+                c = (Lt[:, n, uu, x, :][:, None, None, :]
+                     * u[:, n, uu, x, :, :][None, :, :, :])
+                w2 = c if w2 is None else w2 + c
+
+    w2 = w2 / _lane_scale(w2, (0, 1, 2))
+    w_scr[:] = w2
+    ws_out[0] = w2
+
+
+def _merge_fstep_kernel(lt, bt, pyy, ft, wt, wt1, sinit, nt_out, mt_out,
+                        s_scr, *, DL, DB, Y, q, sr, sl, S):
+    """One forward step: carry S_{t-1}, emit (N_t, M_{t-1}).
+
+    lt/bt as in the W kernel (time row t); pyy: [Y, Y, Y, q] shared;
+    ft: [1, Y, q, sl(f), sl(e)] phi premix; wt/wt1: [1, DL, DB, sr, L]
+    (W_t and W_{t+1}); sinit: [sl, DL, DB, L]; outputs nt [1, sl, Y, q, sr, L]
+    and mt [1, sl, sr, L]; s_scr carry [sl, DL, DB, L].
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        s_scr[:] = sinit[:]
+
+    S_ = s_scr[:]                                   # [e, k, m, L]
+    Lt = lt[0]
+    Bt = bt[0]
+    Pyy = pyy[:]
+    Ft = ft[0]                                      # [y, x, f, e]
+    Wt = wt[0]
+    Wt1 = jnp.where(s == S - 1, _onehot000(DL, DB, sr, wt1.dtype), wt1[0])
+
+    # Mt[e,a] = sum_{k,m} S_[e,k,m] Wt[k,m,a]
+    mtmp = None
+    for k in range(DL):
+        c = S_[:, k, :, :][:, :, None, :] * Wt[k][None, :, :, :]
+        mtmp = c if mtmp is None else mtmp + c      # [e, m, a, L]
+    Mt = jnp.sum(mtmp, axis=1)                      # [e, a, L]
+
+    # t2[e,n,j,y,x] = sum_{m,v,u} Pyy[y,u,v,x] t1[e,n,m,u,x] Bt[m,j,v,x]
+    # with t1[e,n,m,u,x] = sum_k S_[e,k,m] Lt[k,n,u,x].  t1 is formed one m
+    # at a time so the live VMEM set stays ~[e,n,u,x] sized (the full 6D t1
+    # plus its broadcast temporaries blow the 16 MB scoped-vmem budget).
+    t2 = None
+    for m in range(DB):
+        t1m = None                                  # [e, n, u, x, L]
+        for k in range(DL):
+            c = (S_[:, k, m, :][:, None, None, None, :]
+                 * Lt[k][None, :, :, :, :])
+            t1m = c if t1m is None else t1m + c
+        for v in range(Y):
+            zt = None
+            for uu in range(Y):
+                c = (Pyy[:, uu, v, :][None, None, :, :, None]
+                     * t1m[:, :, uu, :, :][:, :, None, :, :])
+                zt = c if zt is None else zt + c    # [e, n, y, x, L]
+            c2 = (zt[:, :, None, :, :, :]
+                  * Bt[m, :, v, :, :][None, None, :, None, :, :])
+            t2 = c2 if t2 is None else t2 + c2      # [e, n, j, y, x, L]
+
+    # Nt[e,y,x,b] = sum_{n,j} t2[e,n,j,y,x] Wt1[n,j,b]   (VMEM-lean order)
+    Nt = None
+    for n in range(DL):
+        tn = None
+        for j in range(DB):
+            c = (t2[:, n, j, :, :, :][:, :, :, None, :]
+                 * Wt1[n, j, :, :][None, None, None, :, :])
+            tn = c if tn is None else tn + c        # [e, y, x, b, L]
+        Nt = tn if Nt is None else Nt + tn
+
+    # S2[f,n,j] = sum_{e,y,x} Ft[y,x,f,e] t2[e,n,j,y,x]  — MXU per (y, x)
+    s2 = None
+    for y in range(Y):
+        for x in range(q):
+            lhs = Ft[y, x]                          # [f, e]
+            rhs = t2[:, :, :, y, x, :].reshape(sl, DL * DB * _LANES)
+            c = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=lhs.dtype)
+            s2 = c if s2 is None else s2 + c        # [f, DL*DB*L]
+    s2 = s2.reshape(sl, DL, DB, _LANES)
+    s_scr[:] = s2 / _lane_scale(s2, (0, 1, 2))
+
+    nt_out[0] = Nt
+    mt_out[0] = Mt
+
+
+def _merge_wscan(L1, B1, Thk, *, DL, DB, Y, q, sr, interpret=False):
+    """L1/B1: [S, D, D, Y, q, Np]; Thk: [S, sr, Y, Y, q, sr] -> Ws
+    [S, DL, DB, sr, Np] with Ws[t] = W_{t+1} (reverse-scan emissions)."""
+    S, Np = L1.shape[0], L1.shape[-1]
+    grid = (Np // _LANES, S)
+    rev = lambda i, s: (S - 1 - s, 0, 0, 0, 0, i)
+    return pl.pallas_call(
+        partial(_merge_wstep_kernel, DL=DL, DB=DB, Y=Y, q=q, sr=sr),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, DL, DL, Y, q, _LANES), rev),
+            pl.BlockSpec((1, DB, DB, Y, q, _LANES), rev),
+            pl.BlockSpec((1, sr, Y, Y, q, sr), lambda i, s: (S - 1 - s,) + (0,) * 5),
+        ],
+        out_specs=pl.BlockSpec((1, DL, DB, sr, _LANES),
+                               lambda i, s: (S - 1 - s, 0, 0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((S, DL, DB, sr, Np), L1.dtype),
+        scratch_shapes=[pltpu.VMEM((DL, DB, sr, _LANES), L1.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(L1, B1, Thk)
+
+
+def _merge_fscan(L1, B1, Pyy, Phik, Ws, S_init, *, DL, DB, Y, q, sr, sl,
+                 interpret=False):
+    """Forward scan -> (Ns [S, sl, Y, q, sr, Np], Ms [S, sl, sr, Np])."""
+    S, Np = L1.shape[0], L1.shape[-1]
+    grid = (Np // _LANES, S)
+    fwd = lambda i, s: (s, 0, 0, 0, 0, i)
+    w_at = lambda i, s: (s, 0, 0, 0, i)
+    w_next = lambda i, s: (jnp.minimum(s + 1, S - 1), 0, 0, 0, i)
+    return pl.pallas_call(
+        partial(_merge_fstep_kernel, DL=DL, DB=DB, Y=Y, q=q, sr=sr, sl=sl,
+                S=S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, DL, DL, Y, q, _LANES), fwd),
+            pl.BlockSpec((1, DB, DB, Y, q, _LANES), fwd),
+            pl.BlockSpec((Y, Y, Y, q), lambda i, s: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Y, q, sl, sl), lambda i, s: (s, 0, 0, 0, 0)),
+            pl.BlockSpec((1, DL, DB, sr, _LANES), w_at),
+            pl.BlockSpec((1, DL, DB, sr, _LANES), w_next),
+            pl.BlockSpec((sl, DL, DB, _LANES), lambda i, s: (0, 0, 0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sl, Y, q, sr, _LANES), fwd),
+            pl.BlockSpec((1, sl, sr, _LANES), lambda i, s: (s, 0, 0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, sl, Y, q, sr, Np), L1.dtype),
+            jax.ShapeDtypeStruct((S, sl, sr, Np), L1.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((sl, DL, DB, _LANES), L1.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(L1, B1, Pyy, Phik, Ws, Ws, S_init)
+
+
+def _band_indicator(Y, off, q, dtype):
+    """Dense prob_yy for the sum-type band: [Y(y), Y(u), Y(v), q]."""
+    y = np.arange(Y)[:, None, None]
+    u = np.arange(Y)[None, :, None]
+    v = np.arange(Y)[None, None, :]
+    band = (u == y + off - v) & (y + off - v >= 0) & (y + off - v < Y)
+    return jnp.asarray(np.broadcast_to(band[..., None], (Y, Y, Y, q)), dtype)
+
+
+def merge_stta_fused(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
+                     oversample: int = 4, yy_off: int | None = None,
+                     interpret: bool = False):
+    """Fused-kernel cavity merge; drop-in for ``merge_stta_batched``.
+
+    Lc: [B, T1, DL, DL, Y*q]; Bc: [B, T1, DB, DB, Y*q]; pyy [Y, Y, Y, q]
+    shared (ignored when ``yy_off`` selects the banded merge).  Same sketches
+    and algebra as the XLA path — gated for near-equality by
+    tests/test_fused_stta.py.
+    """
+    from .stta import _solve_batched, _eps_for
+
+    Bn, T1, DL = Lc.shape[0], Lc.shape[1], Lc.shape[2]
+    DB = Bc.shape[2]
+    P = Y * q
+    dtype = Lc.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, DL * DB)
+    sl = min(sr + oversample, DL * DB)
+    S = T1 - 1
+
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, Y, q), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, Y, q), dtype)
+
+    if yy_off is None:
+        Th = jnp.einsum("tabyx,yuvx->tabuvx", psi, pyy)
+        Pyy_d = pyy.astype(dtype)
+    else:
+        Th = y_expand(psi, yy_off, axis=3, mode="sum")
+        Pyy_d = _band_indicator(Y, yy_off, q, dtype)
+    # kernel layouts: Th [t, b, v, u, x, a]; phi premix [t, y, x, f, e]
+    Thk = jnp.transpose(Th, (0, 2, 4, 3, 5, 1))
+    Phik = jnp.transpose(phi, (0, 3, 4, 2, 1))
+
+    Lf = Lc.reshape(Bn, T1, DL, DL, Y, q)
+    Bf = Bc.reshape(Bn, T1, DB, DB, Y, q)
+    # node-last streams for the kernels
+    L1 = _pad_lanes(jnp.moveaxis(Lf[:, 1:], 0, -1), -1)
+    B1 = _pad_lanes(jnp.moveaxis(Bf[:, 1:], 0, -1), -1)
+    Np = L1.shape[-1]
+
+    # ---- site-0 boundary (XLA; one time row) -------------------------------
+    if yy_off is None:
+        c0 = jnp.einsum("yuvx,znux,zjvx->znjyx", pyy, Lf[:, 0, 0], Bf[:, 0, 0])
+    else:
+        LT = y_expand(Lf[:, 0, 0], yy_off, axis=2, mode="diff")
+        c0 = jnp.einsum("znyvx,zjvx->znjyx", LT, Bf[:, 0, 0])
+    S_init = jnp.einsum("fyx,znjyx->zfnj", phi[0, 0], c0)
+    S_init = S_init / _safe_scale(
+        jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
+    S_init_k = _pad_lanes(jnp.moveaxis(S_init, 0, -1), -1)
+
+    # ---- the two fused scans ------------------------------------------------
+    Ws = _merge_wscan(L1, B1, Thk[1:], DL=DL, DB=DB, Y=Y, q=q, sr=sr,
+                      interpret=interpret)
+    Ns_k, Ms_k = _merge_fscan(L1, B1, Pyy_d, Phik[1:], Ws, S_init_k,
+                              DL=DL, DB=DB, Y=Y, q=q, sr=sr, sl=sl,
+                              interpret=interpret)
+
+    Ns = jnp.moveaxis(Ns_k, -1, 0)[:Bn].reshape(Bn, S, sl, P * sr)
+    Ms = jnp.moveaxis(Ms_k, -1, 0)[:Bn]                       # [B, S, sl, sr]
+    Ws0 = jnp.moveaxis(Ws[0], -1, 0)[:Bn]                     # [B, DL, DB, sr]
+
+    # ---- assembly: identical to merge_stta_batched -------------------------
+    v0 = jnp.einsum("znjyx,znjb->zbyx", c0, Ws0).reshape(Bn, sr, P)
+    first = jnp.zeros((Bn, sr, sr, P), dtype).at[:, 0].set(v0)
+    Bsol = _solve_batched(Ms, Ns, eps)
+    Bsol = Bsol.reshape(Bn, S, sr, P, sr).transpose(0, 1, 2, 4, 3)
+    last = jnp.zeros((Bn, sr, sr, P), dtype)
+    last = last.at[:, :, 0, :].set(Bsol[:, -1][:, :, 0, :])
+    cores = jnp.concatenate([first[:, None], Bsol[:, :-1], last[:, None]],
+                            axis=1)
+    cores = _fit_axis(_fit_axis(cores, 2, Dout), 3, Dout)
+    m = _safe_scale(jnp.max(jnp.abs(cores), axis=(2, 3, 4)))
+    cores = cores / m[:, :, None, None, None]
+    logz = Llz + Blz - jnp.sum(jnp.log(m), axis=1)
+    return cores, logz
