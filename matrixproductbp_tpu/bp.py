@@ -591,8 +591,20 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
                             (Nb, K, Dcc, Dcc, q, q, q))
     B3 = jnp.concatenate([main, last[:, :, None]], axis=2)
     B3 = B3.reshape(Nb * K, T1, Dcc, Dcc, q, q, q)
-    out_c, out_lz0 = mpem3_stta_batched(
-        B3, Cs_lz.reshape(Nb * K), Dm, key, stagger=stagger)
+    def mp3(b3, lz, Dout, allow_fused):
+        # fused Pallas scans on TPU (ops/fused_stta.py); XLA scans otherwise.
+        # The *message* conversion (the [Nb*K] batch) stays on the XLA path:
+        # fusing it measurably inflates the sweep's peak HBM temp by ~8 GB
+        # (buffer-assignment interaction with the surrounding einsums;
+        # measured via compiled.memory_analysis(), 16.15 vs 8.09 GB) and
+        # OOMs the 16 GB chip at bench scale.  The belief conversion is
+        # small and fuses for free.
+        if allow_fused and fused_stta.mpem3_fused_supported(
+                b3.shape[2], b3.shape[4], b3.shape[5], Dout, b3.dtype):
+            return fused_stta.mpem3_stta_fused(
+                b3, lz, Dout, key, interpret=fused_stta._FORCE_INTERPRET)
+        return mpem3_stta_batched(b3, lz, Dout, key, stagger=stagger)
+    out_c, out_lz0 = mp3(B3, Cs_lz.reshape(Nb * K), Dm, False)
     # batched normalize_eachmatrix + normalize
     m = _safe_scale(jnp.max(jnp.abs(out_c), axis=(2, 3, 4)))    # [NbK, T1]
     out_c = out_c / m[:, :, None, None, None]
@@ -626,8 +638,7 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
     lastb = jnp.broadcast_to(lastb[:, :, :, :, None], (Nb, Dcf, Dcf, q, q))
     B3b = jnp.concatenate([mainb, lastb[:, None]], axis=1)
     B3b = B3b[:, :, :, :, :, None, :]           # qj = 1 dummy leg
-    bel_c, bel_lz0 = mpem3_stta_batched(B3b, full_lz, Dm, key,
-                                        stagger=stagger)
+    bel_c, bel_lz0 = mp3(B3b, full_lz, Dm, True)
     # marginalize the dummy leg: cores are [Nb, T1, Dm, Dm, q*1]
     bel1_c = bel_c.reshape(Nb, T1, Dm, Dm, q)
     bel1, logz_i = jax.vmap(

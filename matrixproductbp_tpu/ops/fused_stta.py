@@ -42,7 +42,8 @@ from .sumy import y_expand
 from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
     normalize_eachmatrix
 
-__all__ = ["merge_stta_fused", "fused_supported"]
+__all__ = ["merge_stta_fused", "mpem3_stta_fused", "fused_supported",
+           "mpem3_fused_supported"]
 
 try:  # Pallas imports fail gracefully on builds without TPU support
     from jax.experimental import pallas as pl
@@ -116,6 +117,34 @@ def _lane_scale(x, axes):
     m = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
     ok = jnp.isfinite(m) & (m > 0)
     return jnp.where(ok, m, jnp.ones_like(m))
+
+
+#: instances per fused-scan chunk.  The kernels read node-last (lanes)
+#: copies of their inputs whose tiled layouts pad up to 4x (tiny
+#: second-minor dims); at bench scale the whole-batch copies overflowed the
+#: 16 GB HBM.  ``lax.map`` over fixed-size chunks compiles ONE chunk body
+#: and runs chunks strictly sequentially, so only one chunk's transposed
+#: buffers are ever live (a plain Python loop does NOT bound the peak —
+#: measured: XLA keeps all chunks' buffers simultaneously live).
+_MPEM3_CHUNK = 2048
+
+
+def _chunked(fn, xs, Bn):
+    """Apply ``fn`` (chunk pytree -> tuple of [nb, ...] arrays) over
+    ``_MPEM3_CHUNK``-sized chunks of the leading axis via ``lax.map``;
+    single-chunk inputs call ``fn`` directly."""
+    if Bn <= _MPEM3_CHUNK:
+        return fn(xs)
+    C = -(-Bn // _MPEM3_CHUNK)
+    Bp = C * _MPEM3_CHUNK
+
+    def pad0(a):
+        return jnp.pad(a, [(0, Bp - Bn)] + [(0, 0)] * (a.ndim - 1))
+
+    xs_p = jax.tree.map(
+        lambda a: pad0(a).reshape((C, _MPEM3_CHUNK) + a.shape[1:]), xs)
+    outs = jax.lax.map(fn, xs_p)
+    return tuple(o.reshape((Bp,) + o.shape[2:])[:Bn] for o in outs)
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +337,252 @@ def _merge_fscan(L1, B1, Pyy, Phik, Ws, S_init, *, DL, DB, Y, q, sr, sl,
     )(L1, B1, Pyy, Phik, Ws, Ws, S_init)
 
 
+# ---------------------------------------------------------------------------
+# MPEM3 -> MPEM2 kernels (same two-scan STTA as ops/stta.mpem3_stta_batched)
+# ---------------------------------------------------------------------------
+
+def _mpem3_wstep_kernel(bt, pt, ws_out, w_scr, *, Db, qi, qj, sr):
+    """One reverse-sketch step of the MPEM3 conversion, 128-instance block.
+
+    bt: [1, Db, Db, qi, qj, qi', L]; pt: [1, sr, sr, qi, qj] (shared psi_t);
+    ws_out: [1, Db, qi, sr, L]; w_scr carry [Db, qi, sr, L].
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        w_scr[:] = _onehot000(Db, qi, sr, w_scr.dtype)
+
+    Bt = bt[0]                                     # [m, n, i, j, r, L]
+    Pt = pt[0]                                     # [b, c, i, j]
+    W = w_scr[:]                                   # [n, r, c, L]
+
+    # t1[m,i,j,c] = sum_{n,r} Bt[m,n,i,j,r] W[n,r,c]
+    t1 = None
+    for n in range(Db):
+        for r in range(qi):
+            c = (Bt[:, n, :, :, r, :][:, :, :, None, :]
+                 * W[n, r, :, :][None, None, None, :, :])
+            t1 = c if t1 is None else t1 + c       # [m, i, j, c, L]
+
+    # W2[m,i,b] = sum_{j,c} t1[m,i,j,c] Pt[b,c,i,j]
+    w2 = None
+    for j in range(qj):
+        for cc in range(sr):
+            c = (t1[:, :, j, cc, :][:, :, None, :]
+                 * Pt[:, cc, :, j].T[None, :, :, None])
+            w2 = c if w2 is None else w2 + c       # [m, i, b, L]
+
+    w2 = w2 / _lane_scale(w2, (0, 1, 2))
+    w_scr[:] = w2
+    ws_out[0] = w2
+
+
+def _mpem3_fstep_kernel(bt, ft, wt, wt1, sinit, nt_out, mt_out, s_scr, *,
+                        Db, qi, qj, sr, sl, S):
+    """One forward step: carry S_{t-1}, emit (N_t, M_{t-1}).
+
+    bt as in the W kernel; ft: [1, sl, sl, qi, qj] (shared phi_t, indexed
+    Ft[e, f, i, j] as in the ``enijr,efij->fnr`` reference einsum);
+    wt/wt1: [1, Db, qi, sr, L]; sinit: [sl, Db, qi, L];
+    nt: [1, sl, qi, qj, sr, L]; mt: [1, sl, sr, L].
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        s_scr[:] = sinit[:]
+
+    S_ = s_scr[:]                                  # [e, m, i, L]
+    Bt = bt[0]
+    Ft = ft[0]                                     # [e, f, i, j]
+    Wt = wt[0]
+    Wt1 = jnp.where(s == S - 1, _onehot000(Db, qi, sr, wt1.dtype), wt1[0])
+
+    # Mt[e,b] = sum_{m,i} S_[e,m,i] Wt[m,i,b]
+    mt = None
+    for m in range(Db):
+        for i in range(qi):
+            c = S_[:, m, i, :][:, None, :] * Wt[m, i][None, :, :]
+            mt = c if mt is None else mt + c       # [e, b, L]
+
+    # t1[e,n,i,j,r] = sum_m S_[e,m,i] Bt[m,n,i,j,r]
+    t1 = None
+    for m in range(Db):
+        c = (S_[:, m, :, :][:, None, :, None, None, :]
+             * Bt[m][None, :, :, :, :, :])
+        t1 = c if t1 is None else t1 + c           # [e, n, i, j, r, L]
+
+    # Nt[e,i,j,b] = sum_{n,r} t1[e,n,i,j,r] Wt1[n,r,b]
+    nt = None
+    for n in range(Db):
+        for r in range(qi):
+            c = (t1[:, n, :, :, r, :][:, :, :, None, :]
+                 * Wt1[n, r][None, None, None, :, :])
+            nt = c if nt is None else nt + c       # [e, i, j, b, L]
+
+    # S2[f,n,r] = sum_{e,i,j} Ft[e,f,i,j] t1[e,n,i,j,r]  — MXU per (i, j)
+    s2 = None
+    for i in range(qi):
+        for j in range(qj):
+            lhs = Ft[:, :, i, j]                   # [e, f]
+            rhs = t1[:, :, i, j, :, :].reshape(sl, Db * qi * _LANES)
+            c = jax.lax.dot_general(
+                lhs, rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=lhs.dtype)
+            s2 = c if s2 is None else s2 + c
+    s2 = s2.reshape(sl, Db, qi, _LANES)
+    s_scr[:] = s2 / _lane_scale(s2, (0, 1, 2))
+
+    nt_out[0] = nt
+    mt_out[0] = mt
+
+
+def _mpem3_wscan(B1, Psi, *, Db, qi, qj, sr, interpret=False):
+    """B1: [S, Db, Db, qi, qj, qi', Np]; Psi: [S, sr, sr, qi, qj] ->
+    Ws [S, Db, qi, sr, Np] (reverse-scan emissions, Ws[t] = W_{t+1})."""
+    S, Np = B1.shape[0], B1.shape[-1]
+    grid = (Np // _LANES, S)
+    rev = lambda i, s: (S - 1 - s, 0, 0, 0, 0, 0, i)
+    return pl.pallas_call(
+        partial(_mpem3_wstep_kernel, Db=Db, qi=qi, qj=qj, sr=sr),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Db, Db, qi, qj, qi, _LANES), rev),
+            pl.BlockSpec((1, sr, sr, qi, qj),
+                         lambda i, s: (S - 1 - s,) + (0,) * 4),
+        ],
+        out_specs=pl.BlockSpec((1, Db, qi, sr, _LANES),
+                               lambda i, s: (S - 1 - s, 0, 0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((S, Db, qi, sr, Np), B1.dtype),
+        scratch_shapes=[pltpu.VMEM((Db, qi, sr, _LANES), B1.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(B1, Psi)
+
+
+def _mpem3_fscan(B1, Phi, Ws, S_init, *, Db, qi, qj, sr, sl,
+                 interpret=False):
+    """Forward scan -> (Ns [S, sl, qi, qj, sr, Np], Ms [S, sl, sr, Np])."""
+    S, Np = B1.shape[0], B1.shape[-1]
+    grid = (Np // _LANES, S)
+    fwd = lambda i, s: (s, 0, 0, 0, 0, 0, i)
+    w_at = lambda i, s: (s, 0, 0, 0, i)
+    w_next = lambda i, s: (jnp.minimum(s + 1, S - 1), 0, 0, 0, i)
+    return pl.pallas_call(
+        partial(_mpem3_fstep_kernel, Db=Db, qi=qi, qj=qj, sr=sr, sl=sl, S=S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Db, Db, qi, qj, qi, _LANES), fwd),
+            pl.BlockSpec((1, sl, sl, qi, qj), lambda i, s: (s, 0, 0, 0, 0)),
+            pl.BlockSpec((1, Db, qi, sr, _LANES), w_at),
+            pl.BlockSpec((1, Db, qi, sr, _LANES), w_next),
+            pl.BlockSpec((sl, Db, qi, _LANES), lambda i, s: (0, 0, 0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sl, qi, qj, sr, _LANES),
+                         lambda i, s: (s, 0, 0, 0, 0, i)),
+            pl.BlockSpec((1, sl, sr, _LANES), lambda i, s: (s, 0, 0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, sl, qi, qj, sr, Np), B1.dtype),
+            jax.ShapeDtypeStruct((S, sl, sr, Np), B1.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((sl, Db, qi, _LANES), B1.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(B1, Phi, Ws, Ws, S_init)
+
+
+def _mpem3_intermediates_bytes(Db, qi, qj, sr, sl):
+    t1 = sl * Db * qi * qj * qi
+    nt = sl * qi * qj * sr
+    blocks = 2 * Db * Db * qi * qj * qi + 2 * Db * qi * sr
+    return 4 * _LANES * (t1 + nt + 2 * sl * Db * qi + blocks)
+
+
+def mpem3_fused_supported(Db: int, qi: int, qj: int, Dout: int, dtype,
+                          oversample: int = 4) -> bool:
+    """Can the fused MPEM3 kernels run this conversion?"""
+    if not _HAVE_PALLAS or os.environ.get("MPBP_FUSED", "1") == "0":
+        return False
+    sr = min(Dout, Db * qi)
+    sl = min(sr + oversample, max(Db * qi, 1))
+    fits = (_PAD_FACTOR * _mpem3_intermediates_bytes(Db, qi, qj, sr, sl)
+            <= _VMEM_BUDGET)
+    if _FORCE_INTERPRET:
+        return fits
+    if jax.default_backend() != "tpu":
+        return False
+    if dtype != jnp.float32:
+        return False
+    return fits
+
+
+#: max instances per fused-scan pallas_call: bounds the live lanes-last
+#: stream copies (the kernels read a transposed copy of their input whose
+#: tiled layout pads ~4x — the whole-batch copy overflowed HBM at bench
+#: scale).  Chunks run sequentially; 2048 instances = 16 lane blocks, still
+#: far above the per-step latency floor.
+_MPEM3_CHUNK = 2048
+
+
+def mpem3_stta_fused(B3, logz, Dout: int, key, oversample: int = 4,
+                     interpret: bool = False):
+    """Fused-kernel MPEM3 -> MPEM2; drop-in for ``mpem3_stta_batched``.
+
+    B3: [B, T1, Db, Db, qi, qj, qi'] -> (cores [B, T1, Dout, Dout, qi*qj],
+    logz [B]).  Same sketches and algebra as the XLA path.
+    """
+    from .stta import _solve_batched, _eps_for
+
+    Bn, T1, Db, _, qi, qj, _ = B3.shape
+    P = qi * qj
+    dtype = B3.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, Db * qi)
+    sl = min(sr + oversample, max(Db * qi, 1))
+    S = T1 - 1
+
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
+
+    # ---- site-0 boundary (XLA; one time row) -------------------------------
+    S_init = jnp.einsum("fij,znijr->zfnr", phi[0, 0], B3[:, 0, 0])
+    S_init = S_init / _safe_scale(
+        jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
+
+    # ---- the two fused scans, chunked over instances (see _chunked) --------
+    def scans_chunk(xs):
+        B3_c, S_init_c = xs
+        nb = B3_c.shape[0]
+        B1 = _pad_lanes(jnp.moveaxis(B3_c[:, 1:], 0, -1), -1)
+        S_init_k = _pad_lanes(jnp.moveaxis(S_init_c, 0, -1), -1)
+        Ws = _mpem3_wscan(B1, psi[1:], Db=Db, qi=qi, qj=qj, sr=sr,
+                          interpret=interpret)
+        Ns_k, Ms_k = _mpem3_fscan(B1, phi[1:], Ws, S_init_k, Db=Db, qi=qi,
+                                  qj=qj, sr=sr, sl=sl, interpret=interpret)
+        return (jnp.moveaxis(Ns_k, -1, 0)[:nb].reshape(nb, S, sl, P * sr),
+                jnp.moveaxis(Ms_k, -1, 0)[:nb],
+                jnp.moveaxis(Ws[0], -1, 0)[:nb])
+
+    Ns, Ms, Ws0 = _chunked(scans_chunk, (B3, S_init), Bn)
+
+    # ---- assembly: identical to mpem3_stta_batched -------------------------
+    c0 = jnp.einsum("znijr,znrb->zijb", B3[:, 0, 0], Ws0)
+    first = jnp.zeros((Bn, sr, sr, P), dtype)
+    first = first.at[:, 0].set(c0.reshape(Bn, P, sr).transpose(0, 2, 1))
+    Bsol = _solve_batched(Ms, Ns, eps)
+    Bsol = Bsol.reshape(Bn, S, sr, P, sr).transpose(0, 1, 2, 4, 3)
+    last = jnp.zeros((Bn, sr, sr, P), dtype)
+    last = last.at[:, :, 0, :].set(Bsol[:, -1][:, :, 0, :])
+    cores = jnp.concatenate([first[:, None], Bsol[:, :-1], last[:, None]],
+                            axis=1)
+    cores = _fit_axis(_fit_axis(cores, 2, Dout), 3, Dout)
+    return cores, logz
+
+
 def _band_indicator(Y, off, q, dtype):
     """Dense prob_yy for the sum-type band: [Y(y), Y(u), Y(v), q]."""
     y = np.arange(Y)[:, None, None]
@@ -354,10 +629,6 @@ def merge_stta_fused(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
 
     Lf = Lc.reshape(Bn, T1, DL, DL, Y, q)
     Bf = Bc.reshape(Bn, T1, DB, DB, Y, q)
-    # node-last streams for the kernels
-    L1 = _pad_lanes(jnp.moveaxis(Lf[:, 1:], 0, -1), -1)
-    B1 = _pad_lanes(jnp.moveaxis(Bf[:, 1:], 0, -1), -1)
-    Np = L1.shape[-1]
 
     # ---- site-0 boundary (XLA; one time row) -------------------------------
     if yy_off is None:
@@ -368,18 +639,25 @@ def merge_stta_fused(Lc, Llz, Bc, Blz, pyy, Dout: int, Y: int, q: int, key,
     S_init = jnp.einsum("fyx,znjyx->zfnj", phi[0, 0], c0)
     S_init = S_init / _safe_scale(
         jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
-    S_init_k = _pad_lanes(jnp.moveaxis(S_init, 0, -1), -1)
 
-    # ---- the two fused scans ------------------------------------------------
-    Ws = _merge_wscan(L1, B1, Thk[1:], DL=DL, DB=DB, Y=Y, q=q, sr=sr,
-                      interpret=interpret)
-    Ns_k, Ms_k = _merge_fscan(L1, B1, Pyy_d, Phik[1:], Ws, S_init_k,
-                              DL=DL, DB=DB, Y=Y, q=q, sr=sr, sl=sl,
-                              interpret=interpret)
+    # ---- the two fused scans, chunked over instances (see _chunked) --------
+    def scans_chunk(xs):
+        Lf_c, Bf_c, S_init_c = xs
+        nb = Lf_c.shape[0]
+        # node-last streams for the kernels
+        L1 = _pad_lanes(jnp.moveaxis(Lf_c[:, 1:], 0, -1), -1)
+        B1 = _pad_lanes(jnp.moveaxis(Bf_c[:, 1:], 0, -1), -1)
+        S_init_k = _pad_lanes(jnp.moveaxis(S_init_c, 0, -1), -1)
+        Ws = _merge_wscan(L1, B1, Thk[1:], DL=DL, DB=DB, Y=Y, q=q, sr=sr,
+                          interpret=interpret)
+        Ns_k, Ms_k = _merge_fscan(L1, B1, Pyy_d, Phik[1:], Ws, S_init_k,
+                                  DL=DL, DB=DB, Y=Y, q=q, sr=sr, sl=sl,
+                                  interpret=interpret)
+        return (jnp.moveaxis(Ns_k, -1, 0)[:nb].reshape(nb, S, sl, P * sr),
+                jnp.moveaxis(Ms_k, -1, 0)[:nb],
+                jnp.moveaxis(Ws[0], -1, 0)[:nb])
 
-    Ns = jnp.moveaxis(Ns_k, -1, 0)[:Bn].reshape(Bn, S, sl, P * sr)
-    Ms = jnp.moveaxis(Ms_k, -1, 0)[:Bn]                       # [B, S, sl, sr]
-    Ws0 = jnp.moveaxis(Ws[0], -1, 0)[:Bn]                     # [B, DL, DB, sr]
+    Ns, Ms, Ws0 = _chunked(scans_chunk, (Lf, Bf, S_init), Bn)
 
     # ---- assembly: identical to merge_stta_batched -------------------------
     v0 = jnp.einsum("znjyx,znjb->zbyx", c0, Ws0).reshape(Bn, sr, P)

@@ -16,3 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the suite is compile-bound on this 2-core box,
+# and one process accumulating hundreds of live LLVM compilations has
+# (reproducibly) segfaulted XLA's CPU backend — cached reruns sidestep both.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -170,6 +170,108 @@ def test_fused_merge_end_to_end_f64():
                                rtol=1e-3, atol=1e-3)
 
 
+def _ref_mpem3_scans(B3, phi, psi, Db, qi, qj, sr, sl):
+    """The mpem3_stta scan algebra (ops/stta.py) for ONE instance."""
+    T1 = B3.shape[0]
+    dtype = B3.dtype
+    B3f = B3.reshape(T1, -1)
+
+    def wstep(Wf, xs):
+        Btf, Pt = xs
+        Bt = Btf.reshape(Db, Db, qi, qj, qi)
+        W = Wf.reshape(Db, qi, sr)
+        t1 = jnp.einsum("mnijr,nrc->mijc", Bt, W)
+        W2 = jnp.einsum("mijc,bcij->mib", t1, Pt)
+        W2 = W2 / _safe_scale(jnp.max(jnp.abs(W2)))
+        return W2.reshape(-1), W2.reshape(-1)
+
+    W_end = jnp.zeros((Db * qi * sr,), dtype).at[0].set(1.0)
+    _, Ws = jax.lax.scan(wstep, W_end, (B3f[1:], psi[1:]), reverse=True)
+
+    def fstep(Sf, xs):
+        Btf, Ft, Wtf, Wt1f = xs
+        Bt = Btf.reshape(Db, Db, qi, qj, qi)
+        Wt = Wtf.reshape(Db, qi, sr)
+        Wt1 = Wt1f.reshape(Db, qi, sr)
+        Sm = Sf.reshape(sl, Db, qi)
+        Mt = jnp.einsum("emi,mib->eb", Sm, Wt)
+        t1 = jnp.einsum("emi,mnijr->enijr", Sm, Bt)
+        Nt = jnp.einsum("enijr,nrb->eijb", t1, Wt1)
+        S2 = jnp.einsum("enijr,efij->fnr", t1, Ft)
+        S2 = S2 / _safe_scale(jnp.max(jnp.abs(S2)))
+        return S2.reshape(-1), (Nt, Mt)
+
+    S_init = jnp.einsum("fij,nijr->fnr", phi[0, 0], B3[0, 0])
+    S_init = S_init / _safe_scale(jnp.max(jnp.abs(S_init)))
+    W_last = jnp.zeros((Db * qi * sr,), dtype).at[0].set(1.0)
+    Wnext = jnp.concatenate([Ws[1:], W_last[None]], axis=0)
+    _, (Ns, Ms) = jax.lax.scan(fstep, S_init.reshape(-1),
+                               (B3f[1:], phi[1:], Ws, Wnext))
+    return Ws.reshape(T1 - 1, Db, qi, sr), Ns, Ms
+
+
+@pytest.mark.parametrize("Db,qi,qj,Dout", [
+    (4, 2, 2, 5),
+    (3, 2, 1, 4),              # the belief path's dummy qj = 1 leg
+])
+def test_fused_mpem3_scans_match_reference(Db, qi, qj, Dout):
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(17)
+    B, T1 = 5, 5
+    dtype = jnp.float64
+    S = T1 - 1
+    sr = min(Dout, Db * qi)
+    sl = min(sr + 4, Db * qi)
+    B3 = jnp.asarray(rng.normal(size=(B, T1, Db, Db, qi, qj, qi)), dtype)
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
+
+    Ws_ref, Ns_ref, Ms_ref = jax.vmap(
+        lambda b3: _ref_mpem3_scans(b3, phi, psi, Db, qi, qj, sr, sl))(B3)
+
+    B1 = fused_stta._pad_lanes(jnp.moveaxis(B3[:, 1:], 0, -1), -1)
+    S_init = jnp.einsum("fij,znijr->zfnr", phi[0, 0], B3[:, 0, 0])
+    S_init = S_init / _safe_scale(
+        jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
+    S_init_k = fused_stta._pad_lanes(jnp.moveaxis(S_init, 0, -1), -1)
+
+    Ws = fused_stta._mpem3_wscan(B1, psi[1:], Db=Db, qi=qi, qj=qj, sr=sr,
+                                 interpret=True)
+    Ns_k, Ms_k = fused_stta._mpem3_fscan(B1, phi[1:], Ws, S_init_k, Db=Db,
+                                         qi=qi, qj=qj, sr=sr, sl=sl,
+                                         interpret=True)
+
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(Ws), -1, 0)[:B], np.asarray(Ws_ref),
+        rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(Ns_k), -1, 0)[:B],
+        np.asarray(Ns_ref).reshape(B, S, sl, qi, qj, sr),
+        rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(Ms_k), -1, 0)[:B], np.asarray(Ms_ref),
+        rtol=1e-12, atol=1e-12)
+
+
+def test_fused_mpem3_end_to_end_f64(monkeypatch):
+    from matrixproductbp_tpu.ops.stta import mpem3_stta_batched
+    monkeypatch.setattr(fused_stta, "_MPEM3_CHUNK", 2)   # force chunked path
+    rng = np.random.default_rng(2)
+    key = jax.random.PRNGKey(17)
+    B, T1, Db, qi, qj, Dout = 5, 5, 4, 2, 2, 5
+    dtype = jnp.float64
+    B3 = jnp.asarray(rng.normal(size=(B, T1, Db, Db, qi, qj, qi)), dtype)
+    lz = jnp.asarray(rng.normal(size=(B,)), dtype)
+    ref_c, ref_z = mpem3_stta_batched(B3, lz, Dout, key)
+    out_c, out_z = fused_stta.mpem3_stta_fused(B3, lz, Dout, key,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_z), np.asarray(ref_z),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_fused_sweep_beliefs_match_oracle(monkeypatch):
     """Full sweep through the fused-kernel dispatch (interpret mode, f64) on
     a tree: beliefs must match the enumeration oracle — the same end-to-end
