@@ -24,7 +24,8 @@ from .graph import (Graph, graph_from_edges, random_regular_graph,
 from .factors import (RecursiveFactorTables, FactorSpec, TraceFactorSpec,
                       DampedFactorSpec, build_tables, build_tables_t,
                       transition_probs)
-from .bp import (MPBP, mpbp, periodic_mpbp, bp_sweep, iterate, beliefs,
+from .bp import (MPBP, mpbp, periodic_mpbp, bp_sweep, bp_sweep_chunked,
+                 iterate, beliefs,
                  beliefs_tu, pair_beliefs, pair_beliefs_as_tt,
                  pair_beliefs_as_mpem, pair_lognorms, belief_lognorms,
                  bethe_free_energy_pair, bethe_free_energy, means,

@@ -42,7 +42,8 @@ from .ops.sumy import y_expand
 from .ops.stta import merge_stta, mpem3_stta
 from .ops.truncation import SVDTrunc, TruncThresh, default_truncator
 
-__all__ = ["MPBP", "mpbp", "periodic_mpbp", "bp_sweep", "iterate", "beliefs",
+__all__ = ["MPBP", "mpbp", "periodic_mpbp", "bp_sweep", "bp_sweep_chunked",
+           "iterate", "beliefs",
            "beliefs_tu", "pair_beliefs", "pair_beliefs_as_tt",
            "pair_beliefs_as_mpem", "pair_lognorms", "belief_lognorms",
            "bethe_free_energy_pair", "bethe_free_energy", "means",
@@ -815,6 +816,169 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
                 bel_c_all, bel_lz_all, f_all, ga, bp.graph)
 
 
+@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
+                                   "damp", "method", "yy_off", "use_batched",
+                                   "periodic"))
+def _chunk_update(msg_cores, msg_logz, psi, in_e, in_m, out_idx, deg, phi_b,
+                  Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc, trunc_cav,
+                  Dm, Dcav, damp, method, yy_off, use_batched, periodic):
+    """One node-chunk of a sweep (jitted once per chunk/bucket shape).
+
+    Gathers ride inside the jit so only the per-chunk working set (not the
+    whole bucket's) is ever live; the full message arrays pass through as
+    device-resident arguments.
+    """
+    msgs_in_c = msg_cores[in_e]
+    msgs_in_lz = msg_logz[in_e]
+    msgs_out_old_c = msg_cores[out_idx]
+    msgs_out_old_lz = msg_logz[out_idx]
+    psi_out = psi[out_idx]
+    if use_batched:
+        return _bucket_update_batched(
+            msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
+            in_m, Py_b, Pyp_b, Pxy_b, Py0_b, phi_b, deg, Pyy_b, trunc, Dm,
+            Dcav, damp, key, yy_off)
+
+    Nb = in_e.shape[0]
+
+    def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg,
+                pyy):
+        return _node_update(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy,
+                            py0, ph, dg, pyy, trunc, trunc_cav, Dm, Dcav,
+                            damp, periodic, method, key, yy_off, True)
+
+    def prep(tbl):
+        return (tbl, 0) if tbl.shape[0] == Nb else (tbl[0], None)
+
+    py, ax_py = prep(Py_b)
+    pyp, ax_pyp = prep(Pyp_b)
+    pxy, ax_pxy = prep(Pxy_b)
+    py0, ax_py0 = prep(Py0_b)
+    pyy, ax_pyy = prep(Pyy_b)
+    return jax.vmap(
+        node_fn,
+        in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0,
+                 ax_pyy),
+    )(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out, in_m,
+      py, pyp, pxy, py0, phi_b, deg, pyy)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf, idx, vals):
+    """buf.at[idx].set(vals) with drop semantics, donating buf (no copy)."""
+    return buf.at[idx].set(vals, mode="drop")
+
+
+def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
+                     trunc_cav: SVDTrunc | None = None,
+                     Dcav: int | None = None, damp: float = 0.0,
+                     method: str = "sketch", chunk: int = 1024) -> MPBP:
+    """Memory-bounded Jacobi sweep for large graphs.
+
+    :func:`bp_sweep` is one jit whose peak HBM temp grows with N*T1*D^2 —
+    ~8 GB already at the N=4096/T=15/D=10 bench shape (measured) — so graphs
+    beyond ~10^4 nodes cannot sweep on a 16 GB chip.  This variant processes
+    each degree bucket in fixed-size node ``chunk``s, each a separately
+    jitted update (compiled once per bucket shape, cached across chunks and
+    sweeps), and scatters results with donated buffers.  Peak temp is
+    O(chunk * K * T1 * D^2) regardless of N; the full message/belief arrays
+    are the only O(N) residents.  Identical math to :func:`bp_sweep`
+    (Jacobi: every chunk reads the pre-sweep messages).
+
+    This is the single-chip leg of the BASELINE scale target (SIS ER
+    N=10^5, T=50); the multi-chip halo path (``parallel/halo.py``) shards
+    the same chunked sweep across devices.
+    """
+    trunc_cav = trunc if trunc_cav is None else trunc_cav
+    Dm = bp.D
+    Dcav = Dm if Dcav is None else Dcav
+    g = bp.graph
+    N, E = g.N, g.E
+    q = bp.q
+    tb = bp.tables
+    tv = tb.time_varying
+    yy_off = tb.yy_off
+    Yg = tb.Y
+    key = jax.random.PRNGKey(17)
+    from .ops import fused_stta
+
+    out_edges_h = g.out_edges                  # host; property is O(E)
+    # fresh copies: _scatter_rows DONATES its buffer, and the pre-sweep
+    # arrays must stay intact — chunks keep reading them (Jacobi), and the
+    # caller's ``bp`` still references them
+    new_cores, new_lz = jnp.copy(bp.msg_cores), jnp.copy(bp.msg_logz)
+    bel_c_all = jnp.copy(bp.bel_cores)
+    bel_lz_all = jnp.copy(bp.bel_logz)
+    f_all = jnp.copy(bp.f)
+
+    for idx, Kb in _degree_buckets(g):
+        if tb.ydims is not None:
+            Yb = max(1, min(Yg, tb.ydims[min(Kb, len(tb.ydims) - 1)]))
+            if yy_off is not None:
+                Yb = max(Yb, yy_off + 1)
+        else:
+            Yb = Yg
+
+        def nsel(t, nb):
+            return t if t.shape[0] == 1 else t[nb]
+
+        fused_ok = fused_stta.fused_supported(
+            max(Dm, Dcav), max(Dm, Dcav), Yb, q, Dcav, bp.msg_cores.dtype)
+        use_batched = bool(
+            method == "sketch" and not bp.periodic and not tv
+            and (yy_off is not None or tb.Pyy.shape[0] == 1)
+            and min(len(idx), chunk) >= _BATCH_MIN_NODES
+            and (fused_ok or _BATCH_MIN_NODES <= 1))
+
+        for lo in range(0, len(idx), chunk):
+            ids = idx[lo:lo + chunk]
+            nb_real = len(ids)
+            pad = chunk - nb_real if len(idx) > chunk else 0
+            # padded rows gather node 0 (harmless) and scatter to dropped
+            # indices (edge E / node N)
+            ids_g = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+            in_e = jnp.asarray(g.in_edges[ids_g][:, :Kb])
+            in_m = jnp.asarray(g.in_mask[ids_g][:, :Kb])
+            out_e = out_edges_h[ids_g][:, :Kb].copy()
+            if pad:
+                out_e[nb_real:] = E
+            out_idx = jnp.asarray(np.minimum(out_e, E - 1))
+            nb_j = jnp.asarray(ids_g)
+            deg = jnp.asarray(g.degree[ids_g])
+
+            Py_b = nsel(tb.Py, nb_j)[..., :Yb]
+            Pyp_b = nsel(tb.Pyp, nb_j)[:, :Kb][..., :Yb]
+            Pxy_b = nsel(tb.Pxy, nb_j)[:, :Kb][..., :Yb, :, :]
+            Py0_b = nsel(tb.Py0, nb_j)[..., :Yb, :]
+            if yy_off is None:
+                Pyy_b = nsel(tb.Pyy, nb_j)[:, :min(Kb, tb.Pyy.shape[1])]
+                Pyy_b = Pyy_b[..., :Yb, :Yb, :Yb, :]
+            else:
+                Pyy_b = nsel(tb.Pyy, nb_j)
+
+            out_c, out_lz, bel_c, bel_lz, f = _chunk_update(
+                bp.msg_cores, bp.msg_logz, bp.psi, in_e, in_m, out_idx, deg,
+                bp.phi[nb_j], Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
+                trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
+                damp=damp, method=method, yy_off=yy_off,
+                use_batched=use_batched, periodic=bp.periodic)
+
+            flat_idx = jnp.asarray(out_e.reshape(-1))
+            Kc = out_c.shape[1]
+            new_cores = _scatter_rows(
+                new_cores, flat_idx,
+                out_c.reshape((out_c.shape[0] * Kc,) + out_c.shape[2:]))
+            new_lz = _scatter_rows(new_lz, flat_idx, out_lz.reshape(-1))
+            bel_idx = jnp.asarray(
+                np.concatenate([ids, np.full(pad, N, ids.dtype)]))
+            bel_c_all = _scatter_rows(bel_c_all, bel_idx, bel_c)
+            bel_lz_all = _scatter_rows(bel_lz_all, bel_idx, bel_lz)
+            f_all = _scatter_rows(f_all, bel_idx, f)
+
+    return MPBP(bp.tables, bp.phi, bp.psi, new_cores, new_lz,
+                bel_c_all, bel_lz_all, f_all, bp.garrays, bp.graph)
+
+
 # ---------------------------------------------------------------------------
 # driver & observables
 # ---------------------------------------------------------------------------
@@ -845,8 +1009,12 @@ class CB_BP:
 def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
             tol: float = 1e-10, damp: float = 0.0,
             trunc_cav: SVDTrunc | None = None, Dcav: int | None = None,
-            callback=None, method: str = "qr"):
+            callback=None, method: str = "qr", chunk: int | None = None):
     """Run sweeps until the marginals stop moving (reference ``iterate!``).
+
+    ``chunk``: process nodes in chunks of this size per sweep
+    (:func:`bp_sweep_chunked`) — required for graphs whose whole-sweep
+    working set exceeds device memory (N over ~10^4 on one chip).
 
     Returns (bp, n_iters, deltas)."""
     trunc = default_truncator() if trunc is None else trunc
@@ -854,7 +1022,11 @@ def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
     f_old = bp.f
     deltas = []
     for it in range(maxiter):
-        bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp, method)
+        if chunk is not None:
+            bp = bp_sweep_chunked(bp, trunc, trunc_cav, Dcav, damp, method,
+                                  chunk)
+        else:
+            bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp, method)
         m_new = beliefs(bp)
         # convergence on marginals AND free-energy contributions: under hard
         # observations beliefs can freeze a sweep before the f ledger settles
