@@ -129,6 +129,10 @@ def main():
     import jax.numpy as jnp
     from matrixproductbp_tpu.utils.profiling import sweep_flops_estimate
 
+    # A parseable (all-null) line FIRST: even if an external timeout kills us
+    # mid-compile, the tail still holds valid JSON.
+    emit()
+
     accel = jax.devices()[0]
     dtype = jnp.float32
 
@@ -166,8 +170,8 @@ def main():
         cpus = jax.devices("cpu")
         dt_cpu = timed_sweeps(bp10, cpus[0], 1, 10)
         RESULT["vs_baseline"] = round(dt_cpu / dt10, 3)
-    except Exception:
-        pass
+    except Exception as e:
+        RESULT["vs_baseline"] = _short_err(e)
     emit()
     return 0
 
