@@ -816,6 +816,25 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
                 bel_c_all, bel_lz_all, f_all, ga, bp.graph)
 
 
+_bp_sweep_jit = bp_sweep
+
+
+def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
+             Dcav: int | None = None, damp: float = 0.0,
+             method: str = "qr") -> MPBP:
+    """One synchronous (Jacobi) BP sweep — see :func:`_bp_sweep_jit`.
+
+    This un-jitted shim records the platform the data actually lives on
+    before tracing: the fused-Pallas admission gates (``ops/fused_stta``)
+    run at trace time, where ``jax.default_backend()`` is "tpu" even for a
+    CPU-committed lowering (e.g. the bench's host-CPU baseline phase).
+    """
+    from .ops import fused_stta
+    fused_stta.set_active_platform(bp.msg_cores)
+    return _bp_sweep_jit(bp, trunc, trunc_cav=trunc_cav, Dcav=Dcav,
+                         damp=damp, method=method)
+
+
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
                                    "damp", "method", "yy_off", "use_batched",
                                    "periodic"))
@@ -901,6 +920,7 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
     Yg = tb.Y
     key = jax.random.PRNGKey(17)
     from .ops import fused_stta
+    fused_stta.set_active_platform(bp.msg_cores)
 
     out_edges_h = g.out_edges                  # host; property is O(E)
     # fresh copies: _scatter_rows DONATES its buffer, and the pre-sweep

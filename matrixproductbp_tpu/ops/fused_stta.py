@@ -53,6 +53,28 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 _LANES = 128
+
+#: Platform the *data* actually lives on, set by the un-jitted public entry
+#: points (``bp.bp_sweep``/``bp_sweep_chunked``/``pair_beliefs``) from the
+#: concrete arrays.  ``jax.default_backend()`` is wrong for this purpose:
+#: with a TPU attached it says "tpu" even while a sweep is being traced for
+#: CPU-committed inputs (e.g. the bench's host-CPU baseline phase), which
+#: would admit Pallas TPU kernels into a CPU lowering.
+_ACTIVE_PLATFORM = None
+
+
+def set_active_platform(x) -> None:
+    """Record the device platform of concrete array ``x`` (None if unknown,
+    e.g. a tracer), consulted by the ``*_supported`` admission gates."""
+    global _ACTIVE_PLATFORM
+    try:
+        _ACTIVE_PLATFORM = next(iter(x.devices())).platform
+    except Exception:
+        _ACTIVE_PLATFORM = None
+
+
+def _platform() -> str:
+    return _ACTIVE_PLATFORM or jax.default_backend()
 #: VMEM budget (bytes) for the transient intermediates of one F-step block.
 #: v5e has 128 MiB of physical VMEM; we raise Mosaic's default scoped limit
 #: (16 MiB) via ``vmem_limit_bytes`` below and gate admission on the analytic
@@ -87,7 +109,7 @@ def fused_supported(DL: int, DB: int, Y: int, q: int, Dout: int, dtype,
             <= _VMEM_BUDGET)
     if _FORCE_INTERPRET:
         return fits
-    if jax.default_backend() != "tpu":
+    if _platform() != "tpu":
         return False
     if dtype != jnp.float32:
         return False
@@ -512,7 +534,7 @@ def mpem3_fused_supported(Db: int, qi: int, qj: int, Dout: int, dtype,
             <= _VMEM_BUDGET)
     if _FORCE_INTERPRET:
         return fits
-    if jax.default_backend() != "tpu":
+    if _platform() != "tpu":
         return False
     if dtype != jnp.float32:
         return False
