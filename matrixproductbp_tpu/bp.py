@@ -683,16 +683,22 @@ def _degree_buckets(graph: Graph):
 
 
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp",
-                                   "method"))
+                                   "method", "platform"))
 def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
              Dcav: int | None = None, damp: float = 0.0,
-             method: str = "qr") -> MPBP:
+             method: str = "qr", platform: str | None = None) -> MPBP:
     """One synchronous (Jacobi) BP sweep over all nodes.
 
     Replaces the reference's threaded asynchronous loop (``iterate!``,
     ``mpbp.jl:185-198``); convergence is checked by the caller.  Nodes are
     processed in degree buckets so per-node cost tracks d_i (and the y-axis
     is cropped per bucket via ``tables.ydims``), exactly.
+
+    ``platform`` is unused in the body but *must* be in the static cache
+    key: jit's trace cache does not key on input device placement, and the
+    fused-Pallas admission gates (``ops/fused_stta``) bake their decision
+    into the jaxpr at trace time — a TPU trace reused for a CPU-committed
+    call would lower TPU Pallas kernels for CPU and fail.
     """
     trunc_cav = trunc if trunc_cav is None else trunc_cav
     Dm = bp.D
@@ -832,15 +838,17 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     from .ops import fused_stta
     fused_stta.set_active_platform(bp.msg_cores)
     return _bp_sweep_jit(bp, trunc, trunc_cav=trunc_cav, Dcav=Dcav,
-                         damp=damp, method=method)
+                         damp=damp, method=method,
+                         platform=fused_stta._ACTIVE_PLATFORM)
 
 
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
                                    "damp", "method", "yy_off", "use_batched",
-                                   "periodic"))
+                                   "periodic", "platform"))
 def _chunk_update(msg_cores, msg_logz, psi, in_e, in_m, out_idx, deg, phi_b,
                   Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc, trunc_cav,
-                  Dm, Dcav, damp, method, yy_off, use_batched, periodic):
+                  Dm, Dcav, damp, method, yy_off, use_batched, periodic,
+                  platform=None):
     """One node-chunk of a sweep (jitted once per chunk/bucket shape).
 
     Gathers ride inside the jit so only the per-chunk working set (not the
@@ -981,7 +989,8 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
                 bp.phi[nb_j], Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
                 trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
                 damp=damp, method=method, yy_off=yy_off,
-                use_batched=use_batched, periodic=bp.periodic)
+                use_batched=use_batched, periodic=bp.periodic,
+                platform=fused_stta._ACTIVE_PLATFORM)
 
             flat_idx = jnp.asarray(out_e.reshape(-1))
             Kc = out_c.shape[1]
