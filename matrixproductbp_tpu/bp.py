@@ -842,31 +842,42 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
                          platform=fused_stta._ACTIVE_PLATFORM)
 
 
+@jax.jit
+def _chunk_gather(msg_cores, msg_logz, psi, in_e, out_idx):
+    """Per-chunk gather, jitted SEPARATELY from the compute.
+
+    Keeping the gather in the compute executable lets XLA layout assignment
+    propagate the fused kernels' batch-to-lanes layout through it onto the
+    full message array: at the N=5e4/T=50/D=10 scale shape that plans a
+    relayout copy of `f32[150000,51,10,10,4]` into a (8,128)-tiled T1-minor
+    layout — T1 padded 51->128, 49 GB — and aborts compilation.  Across an
+    executable boundary arrays stay in default layout, so any relayout copy
+    the compute wants is confined to the chunk-sized gathered operands.
+    """
+    return (msg_cores[in_e], msg_logz[in_e], msg_cores[out_idx],
+            msg_logz[out_idx], psi[out_idx])
+
+
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
                                    "damp", "method", "yy_off", "use_batched",
                                    "periodic", "platform"))
-def _chunk_update(msg_cores, msg_logz, psi, in_e, in_m, out_idx, deg, phi_b,
+def _chunk_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
+                  psi_out, in_m, deg, phi_b,
                   Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc, trunc_cav,
                   Dm, Dcav, damp, method, yy_off, use_batched, periodic,
                   platform=None):
     """One node-chunk of a sweep (jitted once per chunk/bucket shape).
 
-    Gathers ride inside the jit so only the per-chunk working set (not the
-    whole bucket's) is ever live; the full message arrays pass through as
-    device-resident arguments.
+    Operates on pre-gathered chunk arrays (see :func:`_chunk_gather` for why
+    the gather must not live in this executable).
     """
-    msgs_in_c = msg_cores[in_e]
-    msgs_in_lz = msg_logz[in_e]
-    msgs_out_old_c = msg_cores[out_idx]
-    msgs_out_old_lz = msg_logz[out_idx]
-    psi_out = psi[out_idx]
     if use_batched:
         return _bucket_update_batched(
             msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
             in_m, Py_b, Pyp_b, Pxy_b, Py0_b, phi_b, deg, Pyy_b, trunc, Dm,
             Dcav, damp, key, yy_off)
 
-    Nb = in_e.shape[0]
+    Nb = msgs_in_c.shape[0]
 
     def node_fn(mi_c, mi_lz, mo_c, mo_lz, ps, mk, py, pyp, pxy, py0, ph, dg,
                 pyy):
@@ -984,8 +995,10 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
             else:
                 Pyy_b = nsel(tb.Pyy, nb_j)
 
+            g_in_c, g_in_lz, g_out_c, g_out_lz, g_psi = _chunk_gather(
+                bp.msg_cores, bp.msg_logz, bp.psi, in_e, out_idx)
             out_c, out_lz, bel_c, bel_lz, f = _chunk_update(
-                bp.msg_cores, bp.msg_logz, bp.psi, in_e, in_m, out_idx, deg,
+                g_in_c, g_in_lz, g_out_c, g_out_lz, g_psi, in_m, deg,
                 bp.phi[nb_j], Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
                 trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
                 damp=damp, method=method, yy_off=yy_off,
