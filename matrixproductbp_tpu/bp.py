@@ -834,12 +834,23 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
     before tracing: the fused-Pallas admission gates (``ops/fused_stta``)
     run at trace time, where ``jax.default_backend()`` is "tpu" even for a
     CPU-committed lowering (e.g. the bench's host-CPU baseline phase).
+
+    Limitation: when this shim is itself called under an outer ``jit`` or
+    ``scan``, ``bp.msg_cores`` is a tracer and the platform cannot be read;
+    the gates then fall back to ``jax.default_backend()``.  Call the shim
+    from op-by-op code (or pin the default backend) when sweeping non-default
+    devices from inside a transform.
     """
     from .ops import fused_stta
     fused_stta.set_active_platform(bp.msg_cores)
     return _bp_sweep_jit(bp, trunc, trunc_cav=trunc_cav, Dcav=Dcav,
                          damp=damp, method=method,
-                         platform=fused_stta._ACTIVE_PLATFORM)
+                         platform=fused_stta._active_platform())
+
+
+#: the raw traceable sweep body (pre-jit): probes and outer-jit users scan
+#: over ``bp_sweep.__wrapped__`` directly (scripts/probe_latency.py)
+bp_sweep.__wrapped__ = _bp_sweep_jit.__wrapped__
 
 
 @jax.jit
@@ -1003,7 +1014,7 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
                 trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
                 damp=damp, method=method, yy_off=yy_off,
                 use_batched=use_batched, periodic=bp.periodic,
-                platform=fused_stta._ACTIVE_PLATFORM)
+                platform=fused_stta._active_platform())
 
             flat_idx = jnp.asarray(out_e.reshape(-1))
             Kc = out_c.shape[1]

@@ -32,6 +32,7 @@ TPU-native design.
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
 
 import jax
@@ -54,27 +55,42 @@ except Exception:  # pragma: no cover
 
 _LANES = 128
 
-#: Platform the *data* actually lives on, set by the un-jitted public entry
-#: points (``bp.bp_sweep``/``bp_sweep_chunked``/``pair_beliefs``) from the
-#: concrete arrays.  ``jax.default_backend()`` is wrong for this purpose:
-#: with a TPU attached it says "tpu" even while a sweep is being traced for
-#: CPU-committed inputs (e.g. the bench's host-CPU baseline phase), which
-#: would admit Pallas TPU kernels into a CPU lowering.
-_ACTIVE_PLATFORM = None
+#: Platform the *data* actually lives on.  Exactly two entry points set it:
+#: the un-jitted ``bp.bp_sweep`` shim and ``bp.bp_sweep_chunked`` — any new
+#: consumer of the ``*_supported`` gates must BOTH call
+#: :func:`set_active_platform` with a concrete array AND carry a ``platform``
+#: static argument in its jit cache key (jit does not key on device
+#: placement; the gate decision is baked into the jaxpr at trace time).
+#: ``jax.default_backend()`` is wrong for this purpose: with a TPU attached
+#: it says "tpu" even while a sweep is being traced for CPU-committed inputs
+#: (e.g. the bench's host-CPU baseline phase), which would admit Pallas TPU
+#: kernels into a CPU lowering.  Thread-local so concurrent sweeps over CPU-
+#: and TPU-resident models cannot race each other's gate reads.
+_tls = threading.local()
 
 
 def set_active_platform(x) -> None:
-    """Record the device platform of concrete array ``x`` (None if unknown,
-    e.g. a tracer), consulted by the ``*_supported`` admission gates."""
-    global _ACTIVE_PLATFORM
+    """Record the device platform of concrete array ``x``, consulted by the
+    ``*_supported`` admission gates.
+
+    Limitation (documented at the entry points): if ``x`` is a tracer —
+    i.e. ``bp_sweep`` is itself called under a user's outer ``jit``/``scan``
+    — the platform cannot be read and the gates fall back to
+    ``jax.default_backend()``, which may readmit kernels for the wrong
+    platform when the outer trace targets a non-default device.
+    """
     try:
-        _ACTIVE_PLATFORM = next(iter(x.devices())).platform
+        _tls.platform = next(iter(x.devices())).platform
     except Exception:
-        _ACTIVE_PLATFORM = None
+        _tls.platform = None
+
+
+def _active_platform():
+    return getattr(_tls, "platform", None)
 
 
 def _platform() -> str:
-    return _ACTIVE_PLATFORM or jax.default_backend()
+    return _active_platform() or jax.default_backend()
 #: VMEM budget (bytes) for the transient intermediates of one F-step block.
 #: v5e has 128 MiB of physical VMEM; we raise Mosaic's default scoped limit
 #: (16 MiB) via ``vmem_limit_bytes`` below and gate admission on the analytic
