@@ -1,0 +1,317 @@
+"""Single-chip large-graph sweep on flat, layout-pinned resident state.
+
+Why this module exists (all measured at the BASELINE scale target, SIS ER
+N=1e5/T=50/D=10, on a 16 GB v5e chip):
+
+1. The resident per-edge message array at rest is ``[E, T1, D, D, q*q]``;
+   XLA's default TPU layout for it is fine (edges on lanes, ~1.0x pad), but
+   the per-chunk *gather* executable insists on a T1-minor operand and plans
+   a relayout copy of the WHOLE array padded 51->128 x 10->16 — 49 GB at
+   N=5e4 — aborting compilation.  Gathering rows of a 2-D ``[E, cols]``
+   array with both operand and result layouts pinned row-major
+   (``jax.experimental.layout.Format``) compiles with a 0.6 GB temp
+   (scripts/probe_layout.py).
+2. ``bp_sweep_chunked`` is Jacobi: it double-buffers messages (old + new),
+   so its resident set is 2x the message bytes — N=5e4 needs 24.5 GB.  This
+   module sweeps *in place* (Gauss–Seidel: chunks read messages already
+   updated by earlier chunks this sweep), which matches the reference's
+   asynchronous ``iterate!`` semantics (``mpbp.jl:185-198``: threads
+   read/write the shared message vector live) and halves residency.
+
+State lives ONLY as flat 2-D rows here; the logical 5-D/6-D views exist
+inside the chunk jits.  No reference counterpart: the Julia package's
+largest exercised instance is N=5e3/T=15 (``notebooks/glauber_erdos_renyi
+.ipynb``); this path exists to reach the 1e5-node scale target on TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bp import (_BATCH_MIN_NODES, _chunk_update, _degree_buckets)
+from .factors import RecursiveFactorTables
+from .graph import Graph
+from .ops.tensortrain import TensorTrain, flat_tt, marginals, normalize
+from .ops.truncation import SVDTrunc
+
+__all__ = ["FlatState", "flat_init", "bp_sweep_flat", "flat_beliefs",
+           "flat_free_energy", "iterate_flat"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlatState:
+    """Big-graph sweep state: every O(E)/O(N) array is a flat 2-D (rows x
+    cols) or 1-D device buffer, row-major pinned on TPU."""
+    msg2: jax.Array       # [E, T1*D*D*q*q]
+    msg_logz: jax.Array   # [E]
+    bel2: jax.Array       # [N, T1*D*D*q]
+    bel_logz: jax.Array   # [N]
+    f: jax.Array          # [N]
+
+
+def _fmt(dev, nd):
+    """Row-major pinned Format on TPU; None (default layouts) elsewhere —
+    CPU/interpret paths don't have the relayout problem and may not accept
+    custom layouts."""
+    if dev.platform != "tpu":
+        return None
+    from jax.experimental import layout
+    return layout.Format(
+        layout.Layout(major_to_minor=tuple(range(nd))),
+        jax.sharding.SingleDeviceSharding(dev))
+
+
+def _put(host_arr, dev):
+    f = _fmt(dev, host_arr.ndim)
+    return jax.device_put(jnp.asarray(host_arr), f if f is not None else dev)
+
+
+def flat_init(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
+              dtype=jnp.float32, device=None) -> FlatState:
+    """Flat-initialised state (same init as :func:`bp.mpbp`) built directly
+    in the pinned flat layout — the 5-D arrays never exist on device."""
+    dev = device if device is not None else jax.devices()[0]
+    N, E, q = graph.N, graph.E, tables.q
+    T1 = T + 1
+    msg = flat_tt(T1, D, (q, q), dtype)
+    m, _ = normalize(msg)
+    bel = flat_tt(T1, D, (q,), dtype)
+    row_m = np.asarray(m.cores, dtype=dtype).reshape(-1)
+    row_b = np.asarray(bel.cores, dtype=dtype).reshape(-1)
+    return FlatState(
+        msg2=_put(np.broadcast_to(row_m, (E, row_m.size)).copy(), dev),
+        msg_logz=_put(np.zeros(E, dtype), dev),
+        bel2=_put(np.broadcast_to(row_b, (N, row_b.size)).copy(), dev),
+        bel_logz=_put(np.zeros(N, dtype), dev),
+        f=_put(np.zeros(N, dtype), dev),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pinned-layout gather / scatter executables (cached per device)
+# ---------------------------------------------------------------------------
+
+_JIT_CACHE: dict = {}
+
+
+def _flat_gather_jit(dev):
+    key = ("gather", dev)
+    if key not in _JIT_CACHE:
+        def g(m2, lz, rows_in, rows_out):
+            return m2[rows_in], lz[rows_in], m2[rows_out], lz[rows_out]
+        f2, f1 = _fmt(dev, 2), _fmt(dev, 1)
+        kw = {}
+        if f2 is not None:
+            kw["in_shardings"] = (f2, f1, f1, f1)
+        _JIT_CACHE[key] = jax.jit(g, **kw)
+    return _JIT_CACHE[key]
+
+
+def _flat_scatter_jit(dev, nd):
+    key = ("scatter", dev, nd)
+    if key not in _JIT_CACHE:
+        def s(buf, rows, vals):
+            return buf.at[rows].set(vals, mode="drop")
+        f = _fmt(dev, nd)
+        kw = {"donate_argnums": (0,)}
+        if f is not None:
+            f1 = _fmt(dev, 1)
+            kw["in_shardings"] = (f, f1, _fmt(dev, nd))
+            kw["out_shardings"] = f
+        _JIT_CACHE[key] = jax.jit(s, **kw)
+    return _JIT_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
+                                  "damp", "method", "yy_off", "use_batched",
+                                  "K", "T1", "q", "platform"))
+def _chunk_update_flat(g_in2, g_in_lz, g_out2, g_out_lz, in_m, deg, phi_b,
+                       Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc,
+                       trunc_cav, Dm, Dcav, damp, method, yy_off,
+                       use_batched, K, T1, q, platform=None):
+    """Flat-rows wrapper around :func:`bp._chunk_update`: reshapes the
+    gathered 2-D rows to the logical 6-D chunk tensors (chunk-local, cheap),
+    runs the shared update body, and flattens the outputs for scatter.
+    Free dynamics only (psi == all-ones), which is the scale workload."""
+    nbK = g_in2.shape[0]
+    nb = nbK // K
+    dtype = g_in2.dtype
+    mi = g_in2.reshape(nb, K, T1, Dm, Dm, q * q)
+    mo = g_out2.reshape(nb, K, T1, Dm, Dm, q * q)
+    psi_out = jnp.ones((nb, K, T1, q, q), dtype)
+    out_c, out_lz, bel_c, bel_lz, f = _chunk_update.__wrapped__(
+        mi, g_in_lz.reshape(nb, K), mo, g_out_lz.reshape(nb, K), psi_out,
+        in_m, deg, phi_b, Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
+        trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav, damp=damp,
+        method=method, yy_off=yy_off, use_batched=use_batched,
+        periodic=False, platform=platform)
+    return (out_c.reshape(nbK, -1), out_lz.reshape(-1),
+            bel_c.reshape(nb, -1), bel_lz, f)
+
+
+def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
+                  fs: FlatState, trunc: SVDTrunc, T: int, D: int,
+                  phi=None, trunc_cav: SVDTrunc | None = None,
+                  Dcav: int | None = None, damp: float = 0.0,
+                  method: str = "sketch", chunk: int = 1024,
+                  jacobi: bool = False) -> FlatState:
+    """One in-place (Gauss–Seidel) sweep over all nodes on flat state.
+
+    ``fs``'s buffers are DONATED — the caller must use the returned state.
+    ``jacobi=True`` restores :func:`bp.bp_sweep_chunked` semantics (reads
+    pre-sweep messages; costs an extra message-array copy) for equivalence
+    tests and reproducibility studies; the default matches the reference's
+    asynchronous schedule (``mpbp.jl:185-198``).
+
+    ``phi``: host array [N, T1, q] of node reweights (observations), or
+    None for free dynamics.
+    """
+    from .ops import fused_stta
+    fused_stta.set_active_platform(fs.msg2)
+    platform = fused_stta._active_platform()
+    dev = next(iter(fs.msg2.devices()))
+
+    trunc_cav = trunc if trunc_cav is None else trunc_cav
+    Dm = D
+    Dcav = Dm if Dcav is None else Dcav
+    N, E, q = graph.N, graph.E, tables.q
+    T1 = T + 1
+    tb = tables
+    yy_off = tb.yy_off
+    Yg = tb.Y
+    dtype = fs.msg2.dtype
+    key = jax.random.PRNGKey(17)
+    if tb.time_varying:
+        raise NotImplementedError("bp_sweep_flat: time-varying tables")
+    phi_h = (np.ones((1, T1, q), dtype) if phi is None
+             else np.asarray(phi, dtype))
+
+    gather = _flat_gather_jit(dev)
+    sc2 = _flat_scatter_jit(dev, 2)
+    sc1 = _flat_scatter_jit(dev, 1)
+
+    msg2, msg_lz = fs.msg2, fs.msg_logz
+    bel2, bel_lz, f_all = fs.bel2, fs.bel_logz, fs.f
+    if jacobi:
+        src2, src_lz = jnp.copy(msg2), jnp.copy(msg_lz)
+    else:
+        src2, src_lz = msg2, msg_lz
+
+    out_edges_h = graph.out_edges
+
+    def nsel(t, nb):
+        return t if t.shape[0] == 1 else t[nb]
+
+    for idx, Kb in _degree_buckets(graph):
+        if tb.ydims is not None:
+            Yb = max(1, min(Yg, tb.ydims[min(Kb, len(tb.ydims) - 1)]))
+            if yy_off is not None:
+                Yb = max(Yb, yy_off + 1)
+        else:
+            Yb = Yg
+        fused_ok = fused_stta.fused_supported(
+            max(Dm, Dcav), max(Dm, Dcav), Yb, q, Dcav, dtype)
+        use_batched = bool(
+            method == "sketch"
+            and (yy_off is not None or tb.Pyy.shape[0] == 1)
+            and min(len(idx), chunk) >= _BATCH_MIN_NODES
+            and (fused_ok or _BATCH_MIN_NODES <= 1))
+
+        for lo in range(0, len(idx), chunk):
+            ids = idx[lo:lo + chunk]
+            nb_real = len(ids)
+            pad = chunk - nb_real if len(idx) > chunk else 0
+            ids_g = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+            in_e = g_ie = graph.in_edges[ids_g][:, :Kb]
+            in_m = jnp.asarray(graph.in_mask[ids_g][:, :Kb])
+            out_e = out_edges_h[ids_g][:, :Kb].copy()
+            if pad:
+                out_e[nb_real:] = E
+            rows_in = jnp.asarray(g_ie.reshape(-1))
+            rows_out = jnp.asarray(np.minimum(out_e, E - 1).reshape(-1))
+            nb_j = jnp.asarray(ids_g)
+            deg = jnp.asarray(graph.degree[ids_g])
+
+            Py_b = nsel(tb.Py, nb_j)[..., :Yb]
+            Pyp_b = nsel(tb.Pyp, nb_j)[:, :Kb][..., :Yb]
+            Pxy_b = nsel(tb.Pxy, nb_j)[:, :Kb][..., :Yb, :, :]
+            Py0_b = nsel(tb.Py0, nb_j)[..., :Yb, :]
+            if yy_off is None:
+                Pyy_b = nsel(tb.Pyy, nb_j)[:, :min(Kb, tb.Pyy.shape[1])]
+                Pyy_b = Pyy_b[..., :Yb, :Yb, :Yb, :]
+            else:
+                Pyy_b = nsel(tb.Pyy, nb_j)
+            phi_b = jnp.asarray(
+                phi_h[ids_g] if phi_h.shape[0] != 1
+                else np.broadcast_to(phi_h, (len(ids_g), T1, q)))
+
+            gi2, gi_lz, go2, go_lz = gather(src2, src_lz, rows_in, rows_out)
+            out2, out_lz, bel_c, bel_lz_c, f_c = _chunk_update_flat(
+                gi2, gi_lz, go2, go_lz, in_m, deg, phi_b,
+                Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
+                trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
+                damp=damp, method=method, yy_off=yy_off,
+                use_batched=use_batched, K=Kb, T1=T1, q=q,
+                platform=platform)
+
+            srows = jnp.asarray(out_e.reshape(-1))
+            msg2 = sc2(msg2, srows, out2)
+            msg_lz = sc1(msg_lz, srows, out_lz)
+            if not jacobi:
+                src2, src_lz = msg2, msg_lz
+            brows = jnp.asarray(
+                np.concatenate([ids, np.full(pad, N, ids.dtype)]))
+            bel2 = sc2(bel2, brows, bel_c)
+            bel_lz = sc1(bel_lz, brows, bel_lz_c)
+            f_all = sc1(f_all, brows, f_c)
+
+    return FlatState(msg2, msg_lz, bel2, bel_lz, f_all)
+
+
+@partial(jax.jit, static_argnames=("T1", "D", "q"))
+def _beliefs_chunk(bel_rows, bel_lz, *, T1, D, q):
+    cores = bel_rows.reshape(-1, T1, D, D, q)
+    return jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (q,))))(
+        cores, bel_lz)
+
+
+def flat_beliefs(fs: FlatState, T: int, D: int, q: int,
+                 chunk: int = 8192) -> np.ndarray:
+    """Single-site time marginals [N, T1, q], computed chunk-wise."""
+    N = fs.bel2.shape[0]
+    T1 = T + 1
+    out = np.empty((N, T1, q), np.float32)
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        out[lo:hi] = np.asarray(_beliefs_chunk(
+            fs.bel2[lo:hi], fs.bel_logz[lo:hi], T1=T1, D=D, q=q))
+    return out
+
+
+def flat_free_energy(fs: FlatState) -> float:
+    """Bethe free energy: sum of per-node contributions (``mpbp.jl:298``)."""
+    return float(jnp.sum(fs.f))
+
+
+def iterate_flat(graph, tables, fs, trunc, T, D, maxiter: int = 50,
+                 tol: float = 1e-6, probe: int = 2048, **kw):
+    """Sweep until the max-abs belief-marginal change on a fixed probe
+    subset of nodes drops below ``tol``.  Returns (fs, n_iters, delta)."""
+    q = tables.q
+    nprobe = min(probe, graph.N)
+    m_old = None
+    for it in range(maxiter):
+        fs = bp_sweep_flat(graph, tables, fs, trunc, T, D, **kw)
+        m_new = np.asarray(_beliefs_chunk(
+            fs.bel2[:nprobe], fs.bel_logz[:nprobe], T1=T + 1, D=D, q=q))
+        if m_old is not None:
+            delta = float(np.max(np.abs(m_new - m_old)))
+            if delta < tol:
+                return fs, it + 1, delta
+        m_old = m_new
+    return fs, maxiter, float("inf")

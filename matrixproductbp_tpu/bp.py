@@ -463,7 +463,8 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
     across nodes (per-node dense prob_yy falls back to :func:`_node_update`).
     Returns (out_cores [Nb,K,...], out_logz [Nb,K], bel_cores, bel_logz, f).
     """
-    from .ops.stta import merge_stta_batched, mpem3_stta_batched
+    from .ops.stta import merge_stta_batched, mpem3_stta_batched, \
+        mpem3_stta_batched_tm
     from .ops import fused_stta
 
     Nb, K, T1 = msgs_in_c.shape[0], msgs_in_c.shape[1], msgs_in_c.shape[2]
@@ -583,15 +584,32 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
         Cs_lz = jnp.stack([z for _, z in Cs], axis=1)
 
     # ---- outgoing messages: f_bp_partial -> mpem3 sketch -> normalize ------
+    # B3[z,k,t,m,n,i,j,p] = sum_y Pyp[z,k,p,i,j,y] C[z,k,t,m,n,(y,i)]
+    # phi[z,t,i] is built DIRECTLY time-major flat ([T1, Nb*K, cols], col
+    # order (i,j,p,m,n)) as a batched dot_general over (t,z,k): the obvious
+    # 3-operand einsum gets conv-lowered by XLA into a (2,128)-tiled layout
+    # whose tiny trailing dims pad ~13x — a 16 GB HLO temp at the chunked-
+    # sweep scale shape (N=1e4, T=50, chunk 2048; measured from the compile
+    # OOM).  The 7-D B3 never materializes on this path.
     Dcc = Cs_c.shape[-3]
+    T = T1 - 1
     C = Cs_c.reshape(Nb, K, T1, Dcc, Dcc, Y, q)
-    main = jnp.einsum("zkpijy,zktmnyi,zti->zktmnijp",
-                      Pyp_b, C[:, :, :-1], phi_b[:, :-1])
-    lastC = jnp.einsum("zkmnyi,zi->zkmni", C[:, :, -1], phi_b[:, -1])
-    last = jnp.broadcast_to(lastC[:, :, :, :, :, None, None],
-                            (Nb, K, Dcc, Dcc, q, q, q))
-    B3 = jnp.concatenate([main, last[:, :, None]], axis=2)
-    B3 = B3.reshape(Nb * K, T1, Dcc, Dcc, q, q, q)
+    eye = jnp.eye(q, dtype=dtype)
+    # Mop[z,k,t,(y,c),(i,j,p)]: c is the phys leg contracted against C
+    Mop = jnp.einsum("zkpijy,zti,ci->zktycijp", Pyp_b, phi_b[:, :-1], eye)
+    Mop = Mop.reshape(Nb, K, T, Y * q, q * q * q)
+    Mop = jnp.moveaxis(Mop, 2, 0)                   # [T, z, k, yc, ijp]
+    Ctm = jnp.transpose(Cs_c[:, :, :-1], (2, 0, 1, 5, 3, 4))
+    Ctm = Ctm.reshape(T, Nb, K, Y * q, Dcc * Dcc)   # [T, z, k, yc, mn]
+    main_tm = jax.lax.dot_general(
+        Mop, Ctm, (((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
+        preferred_element_type=dtype)               # [T, z, k, ijp, mn]
+    main_tm = main_tm.reshape(T, Nb * K, q * q * q * Dcc * Dcc)
+    lastC = jnp.einsum("zkmnyi,zi->zkimn", C[:, :, -1], phi_b[:, -1])
+    last_tm = jnp.broadcast_to(
+        lastC[:, :, :, None, None],
+        (Nb, K, q, q, q, Dcc, Dcc)).reshape(1, Nb * K, -1)
+    B3_tm = jnp.concatenate([main_tm, last_tm], axis=0)
     def mp3(b3, lz, Dout, allow_fused):
         # fused Pallas scans on TPU (ops/fused_stta.py); XLA scans otherwise.
         # The *message* conversion (the [Nb*K] batch) stays on the XLA path:
@@ -605,7 +623,8 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
             return fused_stta.mpem3_stta_fused(
                 b3, lz, Dout, key, interpret=fused_stta._FORCE_INTERPRET)
         return mpem3_stta_batched(b3, lz, Dout, key, stagger=stagger)
-    out_c, out_lz0 = mp3(B3, Cs_lz.reshape(Nb * K), Dm, False)
+    out_c, out_lz0 = mpem3_stta_batched_tm(
+        B3_tm, Cs_lz.reshape(Nb * K), Dcc, q, q, Dm, key, stagger=stagger)
     # batched normalize_eachmatrix + normalize
     m = _safe_scale(jnp.max(jnp.abs(out_c), axis=(2, 3, 4)))    # [NbK, T1]
     out_c = out_c / m[:, :, None, None, None]

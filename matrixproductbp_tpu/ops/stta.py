@@ -39,7 +39,7 @@ from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
     normalize_eachmatrix
 
 __all__ = ["merge_stta", "mpem3_stta", "merge_stta_batched",
-           "mpem3_stta_batched"]
+           "mpem3_stta_batched", "mpem3_stta_batched_tm"]
 
 
 def _solve_batched(M, N, eps):
@@ -441,8 +441,34 @@ def mpem3_stta_batched(B3, logz, Dout: int, key, oversample: int = 4,
     (cores [B, T1, Dout, Dout, qi*qj], logz [B]).  Same sketches for every
     instance (matching the vmapped :func:`mpem3_stta`)."""
     Bn, T1, Db, _, qi, qj, _ = B3.shape
+    B3f = jnp.moveaxis(B3, 0, 1).reshape(T1, Bn, Db * Db * qi * qj * qi)
+    return _mpem3_stta_tm(B3f, logz, Db, qi, qj, Dout, key, oversample,
+                          stagger, order="mnijr")
+
+
+def mpem3_stta_batched_tm(B3f, logz, Db: int, qi: int, qj: int, Dout: int,
+                          key, oversample: int = 4,
+                          stagger: int | None = None):
+    """Time-major-flat entry: B3f [T1, B, qi*qj*qi'*Db*Db] with column order
+    ``(i, j, r, m, n)`` (r = qi', the t+1 physical leg; m, n = bonds).
+
+    Callers at large batch use this to hand over B3 WITHOUT ever
+    materializing the 7-D tensor: on TPU an 8-D ``concatenate``/einsum with
+    tiny trailing dims gets a (2,128)-tiled layout padded up to ~13x — a
+    16 GB HLO temp at the N=1e4/T=50 chunked-sweep shape (measured; see
+    ``bp._bucket_update_batched``).  The flat [T1, B, cols] form is what the
+    scans consume anyway, and pads ~1.0x.
+    """
+    return _mpem3_stta_tm(B3f, logz, Db, qi, qj, Dout, key, oversample,
+                          stagger, order="ijrmn")
+
+
+def _mpem3_stta_tm(B3f, logz, Db, qi, qj, Dout, key, oversample, stagger,
+                   order):
+    """Shared body; ``order`` names the flat-column layout of B3f."""
+    T1, Bn = B3f.shape[0], B3f.shape[1]
     P = qi * qj
-    dtype = B3.dtype
+    dtype = B3f.dtype
     eps = _eps_for(dtype)
     sr = min(Dout, Db * qi)
     sl = min(sr + oversample, max(Db * qi, 1))
@@ -454,15 +480,23 @@ def mpem3_stta_batched(B3, logz, Dout: int, key, oversample: int = 4,
     phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
     psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
 
-    B3f = jnp.moveaxis(B3, 0, 1).reshape(T1, Bn, Db * Db * qi * qj * qi)
+    if order == "mnijr":
+        shp = (Db, Db, qi, qj, qi)
+        sub = "mnijr"
+    else:
+        shp = (qi, qj, qi, Db, Db)
+        sub = "ijrmn"
+
+    def bt(btf):
+        return btf.reshape((G, Bg) + shp)
 
     # ---- right sketches W_t [Db, qi(link), sr] ------------------------------
     def wstep(Wflat, xb, xsh):
         Btf, = xb
         Pt, = xsh
-        Bt = Btf.reshape(G, Bg, Db, Db, qi, qj, qi)
+        Bt = bt(Btf)
         W = Wflat.reshape(G, Bg, Db, qi, sr)
-        t1 = jnp.einsum("gzmnijr,gznrc->gzmijc", Bt, W)
+        t1 = jnp.einsum(f"gz{sub},gznrc->gzmijc", Bt, W)
         W2 = jnp.einsum("gzmijc,gbcij->gzmib", t1, Pt)
         W2 = W2 / _safe_scale(
             jnp.max(jnp.abs(W2), axis=(2, 3, 4), keepdims=True))
@@ -478,12 +512,12 @@ def mpem3_stta_batched(B3, logz, Dout: int, key, oversample: int = 4,
     def fstep(Sflat, xb, xsh):
         Btf, Wtf, Wt1f = xb
         Ft, = xsh
-        Bt = Btf.reshape(G, Bg, Db, Db, qi, qj, qi)
+        Bt = bt(Btf)
         Wt = Wtf.reshape(G, Bg, Db, qi, sr)
         Wt1 = Wt1f.reshape(G, Bg, Db, qi, sr)
         Sm = Sflat.reshape(G, Bg, sl, Db, qi)
         Mt = jnp.einsum("gzemi,gzmib->gzeb", Sm, Wt)
-        t1 = jnp.einsum("gzemi,gzmnijr->gzenijr", Sm, Bt)
+        t1 = jnp.einsum(f"gzemi,gz{sub}->gzenijr", Sm, Bt)
         Nt = jnp.einsum("gzenijr,gznrb->gzeijb", t1, Wt1)
         S2 = jnp.einsum("gzenijr,gefij->gzfnr", t1, Ft)
         S2 = S2 / _safe_scale(
@@ -491,7 +525,11 @@ def mpem3_stta_batched(B3, logz, Dout: int, key, oversample: int = 4,
         return S2.reshape(G, Bg, sl * Db * qi), (
             Nt.reshape(G, Bg, sl * P * sr), Mt.reshape(G, Bg, sl * sr))
 
-    S_init = jnp.einsum("fij,znijr->zfnr", phi[0, 0], B3[:, 0, 0])
+    B300 = B3f[0].reshape((Bn,) + shp)      # t = 0 row
+    B300 = B300[:, 0] if order == "mnijr" else B300[..., 0, :]
+    # B300: [z, n, i, j, r] (mnijr) or [z, i, j, r, n] (ijrmn)
+    sub0 = "znijr" if order == "mnijr" else "zijrn"
+    S_init = jnp.einsum(f"fij,{sub0}->zfnr", phi[0, 0], B300)
     S_init = S_init / _safe_scale(
         jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
     S_init = S_init.reshape(G, Bg, sl * Db * qi)
@@ -504,7 +542,7 @@ def mpem3_stta_batched(B3, logz, Dout: int, key, oversample: int = 4,
 
     # ---- first core ---------------------------------------------------------
     Ws0 = _ungroup_t(Ws)[0].reshape(Bn, Db, qi, sr)
-    c0 = jnp.einsum("znijr,znrb->zijb", B3[:, 0, 0], Ws0)
+    c0 = jnp.einsum(f"{sub0},znrb->zijb", B300, Ws0)
     first = jnp.zeros((Bn, sr, sr, P), dtype)
     first = first.at[:, 0].set(
         c0.reshape(Bn, P, sr).transpose(0, 2, 1))

@@ -1,5 +1,5 @@
 """Single-chip scale demo: SIS on a large Erdos-Renyi graph via the
-memory-bounded chunked sweep (BASELINE.md scale target, single-chip leg).
+flat-resident in-place sweep (BASELINE.md scale target, single-chip leg).
 
 Usage: python scripts/scale_run.py [N] [T] [D] [chunk] [sweeps]
 
@@ -8,6 +8,11 @@ convergence delta of the last sweep.  Reference anchor: the largest instance
 the Julia package exercises is Glauber ER N=5e3, T=15
 (notebooks/glauber_erdos_renyi.ipynb); the BASELINE scale row asks for SIS ER
 N=1e5, T=50.
+
+Memory (16 GB v5e): resident = E*(T+1)*D^2*q^2*4 B messages (single-buffered
+— the sweep is in-place Gauss-Seidel, ``bigsweep.py``) + N*(T+1)*D^2*q*4 B
+beliefs + chunk temporaries.  At T=50, D=10, ER mean degree 3 that bounds a
+single chip at N~5e4; N=1e5 at D=20 needs the halo multi-chip path.
 """
 import json
 import os
@@ -30,8 +35,9 @@ CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
 SWEEPS = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 
 import matrixproductbp_tpu as mp
+from matrixproductbp_tpu import bigsweep
 from matrixproductbp_tpu.graph import graph_from_edges
-from matrixproductbp_tpu.models import SIS, mpbp_sis
+from matrixproductbp_tpu.models.sis import SISFactorSpec
 
 rng = np.random.default_rng(0)
 # ER G(N, M) with mean degree ~3 (giant component; reference-style workload)
@@ -43,29 +49,39 @@ pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)[:M]
 g = graph_from_edges(N, [tuple(p) for p in pairs])
 print(f"graph: N={g.N} E={g.E} dmax={g.dmax}", flush=True)
 
-sis = SIS(g, lam=0.2, rho=0.1, T=T, gamma=0.3)
-bp = mpbp_sis(sis, D=D, dtype=jnp.float32)
-bp = jax.device_put(bp, jax.devices()[0])
+tables = mp.build_tables(
+    g, [SISFactorSpec(lam=0.2, rho=0.1)] * g.N).astype(jnp.float32)
+# patient-zero prior gamma=0.3 as phi at t=0 (sis.jl:24-33 semantics)
+phi = np.ones((g.N, T + 1, 2), np.float32)
+phi[:, 0, 0] = 0.7
+phi[:, 0, 1] = 0.3
 trunc = mp.TruncBond(D)
 
+fs = bigsweep.flat_init(g, tables, T, D, dtype=jnp.float32)
+msg_bytes = int(np.prod(fs.msg2.shape) * 4)
+print(f"resident messages: {msg_bytes/2**30:.2f} GiB", flush=True)
+
 t0 = time.perf_counter()
-out = mp.bp_sweep_chunked(bp, trunc, method="sketch", chunk=CHUNK)
-s = float(jnp.sum(out.msg_logz))
+fs = bigsweep.bp_sweep_flat(g, tables, fs, trunc, T, D, phi=phi,
+                            method="sketch", chunk=CHUNK)
+s = float(jnp.sum(fs.msg_logz))
 print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s "
       f"logz={s:.6g}", flush=True)
 
-m_old = mp.beliefs(out)
+m_old = bigsweep.flat_beliefs(fs, T, D, 2, chunk=CHUNK)
 t0 = time.perf_counter()
-cur = out
 for _ in range(SWEEPS):
-    cur = mp.bp_sweep_chunked(cur, trunc, method="sketch", chunk=CHUNK)
-m_new = mp.beliefs(cur)
-delta = float(jnp.max(jnp.abs(m_new - m_old)))
+    fs = bigsweep.bp_sweep_flat(g, tables, fs, trunc, T, D, phi=phi,
+                                method="sketch", chunk=CHUNK)
+# force completion with a data-dependent fetch (CLAUDE.md timing rule)
+s2 = float(jnp.sum(fs.msg_logz))
 dt = (time.perf_counter() - t0) / SWEEPS
+m_new = bigsweep.flat_beliefs(fs, T, D, 2, chunk=CHUNK)
+delta = float(np.max(np.abs(m_new - m_old)))
 print(json.dumps({
-    "workload": f"SIS ER N={N} T={T} D={D} f32 sketch chunk={CHUNK}",
+    "workload": f"SIS ER N={N} T={T} D={D} f32 sketch chunk={CHUNK} seidel",
     "sweep_s": round(dt, 3),
     "edge_updates_per_s": round(g.E / dt, 1),
     "last_sweep_delta": delta,
-    "msg_bytes": int(np.prod(cur.msg_cores.shape) * 4),
+    "msg_bytes": msg_bytes,
 }), flush=True)
