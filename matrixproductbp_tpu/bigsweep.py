@@ -120,8 +120,12 @@ def _flat_scatter_jit(dev, nd):
         f = _fmt(dev, nd)
         kw = {"donate_argnums": (0,)}
         if f is not None:
-            f1 = _fmt(dev, 1)
-            kw["in_shardings"] = (f, f1, _fmt(dev, nd))
+            # buf pinned row-major in AND out (so the next gather/scatter
+            # sees the same layout, no relayout of the resident array);
+            # rows/vals unpinned — vals arrive in whatever layout the chunk
+            # update executable chose, and relaying a chunk is cheap.
+            sh = jax.sharding.SingleDeviceSharding(dev)
+            kw["in_shardings"] = (f, sh, sh)
             kw["out_shardings"] = f
         _JIT_CACHE[key] = jax.jit(s, **kw)
     return _JIT_CACHE[key]

@@ -91,27 +91,65 @@ def _active_platform():
 
 def _platform() -> str:
     return _active_platform() or jax.default_backend()
-#: VMEM budget (bytes) for the transient intermediates of one F-step block.
-#: v5e has 128 MiB of physical VMEM; we raise Mosaic's default scoped limit
-#: (16 MiB) via ``vmem_limit_bytes`` below and gate admission on the analytic
-#: estimate times a 4x worst-case tile-padding factor (tiny second-minor dims
-#: pad (2,128)->(8,128)) staying under it, leaving headroom for the
-#: double-buffered input streams.
-_VMEM_LIMIT = 100 * 1024 * 1024
-_VMEM_BUDGET = 64 * 1024 * 1024
-_PAD_FACTOR = 4
+#: VMEM budget (bytes) for one F-step block's live set.  v5e has 128 MiB of
+#: physical VMEM; we raise Mosaic's default scoped limit (16 MiB) via
+#: ``vmem_limit_bytes`` below and gate admission on a per-array PADDED-bytes
+#: model (f32 tiles are (8, 128): the second-minor dim of every lane-blocked
+#: array rounds up to a multiple of 8) staying under a budget that leaves
+#: headroom for Mosaic's own temporaries.
+_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_BUDGET = 88 * 1024 * 1024
 
 #: test hook: force the fused path in interpreter mode on CPU (monkeypatched
 #: by tests/test_fused_stta.py so the sweep wiring is exercised off-TPU).
 _FORCE_INTERPRET = False
 
+#: test hook: force the lean F-step kernel even when the original admits.
+_FORCE_LEAN = False
 
-def _f_intermediates_bytes(DL, DB, Y, q, sr, sl):
-    t1 = sl * DL * DB * Y * q
-    t2 = sl * DL * DB * Y * q
-    s2 = sl * DL * DB
-    blocks = 2 * (DL * DL + DB * DB) * Y * q + 4 * DL * DB * sr
-    return 4 * _LANES * (t1 + t2 + 2 * s2 + blocks)
+
+def _pb(*dims):
+    """Padded bytes of a lane-blocked f32 VMEM array [*dims, _LANES]:
+    the last entry of ``dims`` is the second-minor (sublane) axis."""
+    lead = 1
+    for d in dims[:-1]:
+        lead *= d
+    sm = -(-dims[-1] // 8) * 8
+    return 4 * lead * sm * _LANES
+
+
+def _f_live_bytes(DL, DB, Y, q, sr, sl, lean: bool):
+    """Live-set estimate for one forward-step block (streams double-buffered
+    + scratch + unrolled intermediates), per kernel variant."""
+    streams = (2 * 2 * _pb(DL, DL, Y, q)          # lt/bt blocks
+               + 2 * 2 * _pb(DL, DB, sr)          # wt/wt1 blocks
+               + 2 * (_pb(sl, Y, q, sr) + _pb(sl, sr)))   # nt/mt out
+    carry = 2 * _pb(sl, DL, DB)                   # s_scr + s2 build
+    small = 2 * _pb(sl, DL, Y, q) + _pb(sl, Y, q, sr)     # t1m, zt, Nt
+    if lean:
+        t2 = Y * q * _pb(sl, DL, DB)              # per-(y,x) [e, n, j, L]
+    else:
+        t2 = _pb(sl, DL, DB, Y, q)                # [e, n, j, y, x, L]
+    return streams + carry + small + t2
+
+
+def _w_live_bytes(DL, DB, Y, q, sr):
+    return (2 * 2 * _pb(DL, DL, Y, q)             # lt/bt blocks
+            + 2 * _pb(DL, DB, sr)                 # ws out blocks
+            + 2 * _pb(DL, DB, sr)                 # carry + w2
+            + 2 * _pb(DL, DL, Y, q, sr))          # t1, u
+
+
+def _f_variant(DL, DB, Y, q, sr, sl):
+    """Which F-step kernel body to run: 'orig' (fewer unrolled ops, more
+    padding), 'lean' (per-(y,x) t2, ~Y*q/8-of-the-padding), or None."""
+    if _FORCE_LEAN and _f_live_bytes(DL, DB, Y, q, sr, sl, True) <= _VMEM_BUDGET:
+        return "lean"
+    if _f_live_bytes(DL, DB, Y, q, sr, sl, False) <= _VMEM_BUDGET:
+        return "orig"
+    if _f_live_bytes(DL, DB, Y, q, sr, sl, True) <= _VMEM_BUDGET:
+        return "lean"
+    return None
 
 
 def fused_supported(DL: int, DB: int, Y: int, q: int, Dout: int, dtype,
@@ -121,8 +159,8 @@ def fused_supported(DL: int, DB: int, Y: int, q: int, Dout: int, dtype,
         return False
     sr = min(Dout, DL * DB)
     sl = min(sr + oversample, DL * DB)
-    fits = (_PAD_FACTOR * _f_intermediates_bytes(DL, DB, Y, q, sr, sl)
-            <= _VMEM_BUDGET)
+    fits = (_f_variant(DL, DB, Y, q, sr, sl) is not None
+            and _w_live_bytes(DL, DB, Y, q, sr) <= _VMEM_BUDGET)
     if _FORCE_INTERPRET:
         return fits
     if _platform() != "tpu":
@@ -340,6 +378,86 @@ def _merge_wscan(L1, B1, Thk, *, DL, DB, Y, q, sr, interpret=False):
     )(L1, B1, Thk)
 
 
+def _merge_fstep_kernel_lean(lt, bt, pyy, ft, wt, wt1, sinit, nt_out, mt_out,
+                             s_scr, *, DL, DB, Y, q, sr, sl, S):
+    """Lean variant of :func:`_merge_fstep_kernel` for large bond dims.
+
+    Same algebra, but ``t2`` is held as per-(y, x) accumulators
+    ``[e, n, j, L]`` instead of one ``[e, n, j, y, x, L]`` tensor: with
+    q=2 on the sublane axis the single-tensor layout pads (2,128)->(8,128)
+    (x4) — 78 MB at D=20 — while the per-(y, x) arrays keep the bond dim
+    second-minor (pad ~1.2x), which is what admits D=20 merges into VMEM.
+    Costs ~Y*q more (smaller) unrolled ops in the production loop, so the
+    original body stays preferred where it fits (D<=~14).
+    """
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        s_scr[:] = sinit[:]
+
+    S_ = s_scr[:]                                   # [e, k, m, L]
+    Lt = lt[0]
+    Bt = bt[0]
+    Pyy = pyy[:]
+    Ft = ft[0]                                      # [y, x, f, e]
+    Wt = wt[0]
+    Wt1 = jnp.where(s == S - 1, _onehot000(DL, DB, sr, wt1.dtype), wt1[0])
+
+    # Mt[e,a] = sum_{k,m} S_[e,k,m] Wt[k,m,a]
+    mtmp = None
+    for k in range(DL):
+        c = S_[:, k, :, :][:, :, None, :] * Wt[k][None, :, :, :]
+        mtmp = c if mtmp is None else mtmp + c      # [e, m, a, L]
+    Mt = jnp.sum(mtmp, axis=1)                      # [e, a, L]
+
+    # t2[y][x][e,n,j] = sum_{m,v,u} Pyy[y,u,v,x] S_[e,k,m] Lt[k,n,u,x]
+    #                   Bt[m,j,v,x]
+    t2 = [[None for _ in range(q)] for _ in range(Y)]
+    for m in range(DB):
+        t1m = None                                  # [e, n, u, x, L]
+        for k in range(DL):
+            c = (S_[:, k, m, :][:, None, None, None, :]
+                 * Lt[k][None, :, :, :, :])
+            t1m = c if t1m is None else t1m + c
+        for v in range(Y):
+            for x in range(q):
+                Btj = Bt[m, :, v, x, :]             # [j, L]
+                for y in range(Y):
+                    zt = None                       # [e, n, L]
+                    for uu in range(Y):
+                        c = Pyy[y, uu, v, x] * t1m[:, :, uu, x, :]
+                        zt = c if zt is None else zt + c
+                    c2 = zt[:, :, None, :] * Btj[None, None, :, :]
+                    if t2[y][x] is None:
+                        t2[y][x] = c2
+                    else:
+                        t2[y][x] = t2[y][x] + c2    # [e, n, j, L]
+
+    # Nt[e,y,x,b] = sum_{n,j} t2[y][x][e,n,j] Wt1[n,j,b]
+    # S2[f,n,j] = sum_{e,y,x} Ft[y,x,f,e] t2[y][x][e,n,j]  — MXU per (y, x)
+    s2 = None
+    for y in range(Y):
+        for x in range(q):
+            tyx = t2[y][x]
+            acc = None                              # [e, b, L]
+            for n in range(DL):
+                c = jnp.sum(tyx[:, n, :, None, :] * Wt1[n][None, :, :, :],
+                            axis=1)
+                acc = c if acc is None else acc + c
+            nt_out[0, :, y, x, :, :] = acc
+            lhs = Ft[y, x]                          # [f, e]
+            rhs = tyx.reshape(sl, DL * DB * _LANES)
+            c = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=lhs.dtype)
+            s2 = c if s2 is None else s2 + c        # [f, DL*DB*L]
+    s2 = s2.reshape(sl, DL, DB, _LANES)
+    s_scr[:] = s2 / _lane_scale(s2, (0, 1, 2))
+
+    mt_out[0] = Mt
+
+
 def _merge_fscan(L1, B1, Pyy, Phik, Ws, S_init, *, DL, DB, Y, q, sr, sl,
                  interpret=False):
     """Forward scan -> (Ns [S, sl, Y, q, sr, Np], Ms [S, sl, sr, Np])."""
@@ -348,8 +466,11 @@ def _merge_fscan(L1, B1, Pyy, Phik, Ws, S_init, *, DL, DB, Y, q, sr, sl,
     fwd = lambda i, s: (s, 0, 0, 0, 0, i)
     w_at = lambda i, s: (s, 0, 0, 0, i)
     w_next = lambda i, s: (jnp.minimum(s + 1, S - 1), 0, 0, 0, i)
+    variant = _f_variant(DL, DB, Y, q, sr, sl)
+    body = (_merge_fstep_kernel_lean if variant == "lean"
+            else _merge_fstep_kernel)
     return pl.pallas_call(
-        partial(_merge_fstep_kernel, DL=DL, DB=DB, Y=Y, q=q, sr=sr, sl=sl,
+        partial(body, DL=DL, DB=DB, Y=Y, q=q, sr=sr, sl=sl,
                 S=S),
         grid=grid,
         in_specs=[
@@ -532,11 +653,15 @@ def _mpem3_fscan(B1, Phi, Ws, S_init, *, Db, qi, qj, sr, sl,
     )(B1, Phi, Ws, Ws, S_init)
 
 
-def _mpem3_intermediates_bytes(Db, qi, qj, sr, sl):
-    t1 = sl * Db * qi * qj * qi
-    nt = sl * qi * qj * sr
-    blocks = 2 * Db * Db * qi * qj * qi + 2 * Db * qi * sr
-    return 4 * _LANES * (t1 + nt + 2 * sl * Db * qi + blocks)
+def _mpem3_live_bytes(Db, qi, qj, sr, sl):
+    """Padded live-set estimate for the mpem3 forward step (the larger of
+    the two): B3 stream dominates."""
+    return (2 * _pb(Db, Db, qi, qj, qi)           # b3 blocks (double-buf)
+            + 2 * 2 * _pb(Db, qi, sr)             # wt/wt1 blocks
+            + _pb(sl, Db, qi, qj, qi)             # t1
+            + 2 * _pb(sl, Db, qi)                 # carry + s2
+            + _pb(sl, qi, qj, sr)                 # nt
+            + 2 * (_pb(sl, qi, qj, sr) + _pb(sl, sr)))    # out blocks
 
 
 def mpem3_fused_supported(Db: int, qi: int, qj: int, Dout: int, dtype,
@@ -546,8 +671,7 @@ def mpem3_fused_supported(Db: int, qi: int, qj: int, Dout: int, dtype,
         return False
     sr = min(Dout, Db * qi)
     sl = min(sr + oversample, max(Db * qi, 1))
-    fits = (_PAD_FACTOR * _mpem3_intermediates_bytes(Db, qi, qj, sr, sl)
-            <= _VMEM_BUDGET)
+    fits = _mpem3_live_bytes(Db, qi, qj, sr, sl) <= _VMEM_BUDGET
     if _FORCE_INTERPRET:
         return fits
     if _platform() != "tpu":

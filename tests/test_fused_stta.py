@@ -84,12 +84,17 @@ def _ref_scans(Lc1, Bc1, pyy, phi, psi, DL, DB, Y, q, sr, sl, yy_off=None):
     return Ws.reshape(T1 - 1, DL, DB, sr), Ns, Ms
 
 
-@pytest.mark.parametrize("DL,DB,Y,q,Dout,yy_off", [
-    (4, 3, 2, 2, 5, None),
-    (3, 3, 3, 2, 4, None),
-    (3, 3, 4, 2, 5, 1),        # banded sum-type merge
+@pytest.mark.parametrize("DL,DB,Y,q,Dout,yy_off,lean", [
+    (4, 3, 2, 2, 5, None, False),
+    (3, 3, 3, 2, 4, None, False),
+    (3, 3, 4, 2, 5, 1, False),     # banded sum-type merge
+    (4, 3, 2, 2, 5, None, True),   # lean F-step (large-D variant)
+    (3, 3, 3, 2, 4, None, True),
+    (3, 3, 4, 2, 5, 1, True),
 ])
-def test_fused_scans_match_reference(DL, DB, Y, q, Dout, yy_off):
+def test_fused_scans_match_reference(DL, DB, Y, q, Dout, yy_off, lean,
+                                     monkeypatch):
+    monkeypatch.setattr(fused_stta, "_FORCE_LEAN", lean)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(17)
     B, T1 = 5, 5
