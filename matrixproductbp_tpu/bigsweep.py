@@ -26,6 +26,7 @@ largest exercised instance is N=5e3/T=15 (``notebooks/glauber_erdos_renyi
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -46,12 +47,21 @@ __all__ = ["FlatState", "flat_init", "bp_sweep_flat", "flat_beliefs",
 @dataclasses.dataclass(frozen=True)
 class FlatState:
     """Big-graph sweep state: every O(E)/O(N) array is a flat 2-D (rows x
-    cols) or 1-D device buffer, row-major pinned on TPU."""
+    cols) or 1-D device buffer, row-major pinned on TPU.
+
+    Belief *marginals* [N, T1*q] are stored instead of belief TT cores —
+    they are what the scale workload consumes, and the cores resident
+    (N*T1*D^2*q floats, 1.9 GiB at the N=5e4/T=50/D=10 target) is exactly
+    the margin by which that instance overflows a 16 GB chip.  Pass
+    ``belief_cores=True`` to :func:`flat_init` to also keep the cores
+    (moderate N; enables the bit-equality gates vs ``bp_sweep_chunked``).
+    """
     msg2: jax.Array       # [E, T1*D*D*q*q]
     msg_logz: jax.Array   # [E]
-    bel2: jax.Array       # [N, T1*D*D*q]
+    marg: jax.Array       # [N, T1*q]  single-site time marginals
     bel_logz: jax.Array   # [N]
     f: jax.Array          # [N]
+    bel2: jax.Array | None = None   # [N, T1*D*D*q] (belief_cores=True)
 
 
 def _fmt(dev, nd):
@@ -72,7 +82,8 @@ def _put(host_arr, dev):
 
 
 def flat_init(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
-              dtype=jnp.float32, device=None) -> FlatState:
+              dtype=jnp.float32, device=None,
+              belief_cores: bool = False) -> FlatState:
     """Flat-initialised state (same init as :func:`bp.mpbp`) built directly
     in the pinned flat layout — the 5-D arrays never exist on device."""
     dev = device if device is not None else jax.devices()[0]
@@ -80,15 +91,19 @@ def flat_init(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
     T1 = T + 1
     msg = flat_tt(T1, D, (q, q), dtype)
     m, _ = normalize(msg)
-    bel = flat_tt(T1, D, (q,), dtype)
     row_m = np.asarray(m.cores, dtype=dtype).reshape(-1)
-    row_b = np.asarray(bel.cores, dtype=dtype).reshape(-1)
+    bel2 = None
+    if belief_cores:
+        bel = flat_tt(T1, D, (q,), dtype)
+        row_b = np.asarray(bel.cores, dtype=dtype).reshape(-1)
+        bel2 = _put(np.broadcast_to(row_b, (N, row_b.size)).copy(), dev)
     return FlatState(
         msg2=_put(np.broadcast_to(row_m, (E, row_m.size)).copy(), dev),
         msg_logz=_put(np.zeros(E, dtype), dev),
-        bel2=_put(np.broadcast_to(row_b, (N, row_b.size)).copy(), dev),
+        marg=_put(np.full((N, T1 * q), 1.0 / q, dtype), dev),
         bel_logz=_put(np.zeros(N, dtype), dev),
         f=_put(np.zeros(N, dtype), dev),
+        bel2=bel2,
     )
 
 
@@ -120,28 +135,47 @@ def _flat_scatter_jit(dev, nd):
         f = _fmt(dev, nd)
         kw = {"donate_argnums": (0,)}
         if f is not None:
-            # buf pinned row-major in AND out (so the next gather/scatter
-            # sees the same layout, no relayout of the resident array);
-            # rows/vals unpinned — vals arrive in whatever layout the chunk
-            # update executable chose, and relaying a chunk is cheap.
+            # EVERY operand pinned row-major, output too.  XLA's scatter
+            # emitter overrides a requested output layout when the updates
+            # operand is transposed (measured at [3e4, 2e4]: (1,0) vals ->
+            # (1,0) output despite out_shardings), which would flip the
+            # resident array's layout and break the pinned gather on the
+            # next chunk; with all-row-major operands the constraint holds.
+            # Callers pre-normalize vals via _rowmajor_jit.
             sh = jax.sharding.SingleDeviceSharding(dev)
-            kw["in_shardings"] = (f, sh, sh)
+            kw["in_shardings"] = (f, sh, f)
             kw["out_shardings"] = f
         _JIT_CACHE[key] = jax.jit(s, **kw)
     return _JIT_CACHE[key]
 
 
+def _rowmajor(x, dev):
+    """Relayout a chunk-sized 2-D array to row-major (cheap copy) so the
+    pinned scatter accepts it; no-op when already row-major or off-TPU."""
+    f = _fmt(dev, x.ndim)
+    if f is None or x.ndim != 2:
+        return x
+    if x.format.layout.major_to_minor == (0, 1):
+        return x
+    key = ("rowmajor", dev)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(lambda a: a, out_shardings=f)
+    return _JIT_CACHE[key](x)
+
+
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
                                   "damp", "method", "yy_off", "use_batched",
-                                  "K", "T1", "q", "platform"))
+                                  "K", "T1", "q", "platform", "keep_cores"))
 def _chunk_update_flat(g_in2, g_in_lz, g_out2, g_out_lz, in_m, deg, phi_b,
                        Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc,
                        trunc_cav, Dm, Dcav, damp, method, yy_off,
-                       use_batched, K, T1, q, platform=None):
+                       use_batched, K, T1, q, platform=None,
+                       keep_cores=False):
     """Flat-rows wrapper around :func:`bp._chunk_update`: reshapes the
     gathered 2-D rows to the logical 6-D chunk tensors (chunk-local, cheap),
-    runs the shared update body, and flattens the outputs for scatter.
-    Free dynamics only (psi == all-ones), which is the scale workload."""
+    runs the shared update body, reduces beliefs to marginals, and flattens
+    everything for scatter.  Free dynamics only (psi == all-ones), which is
+    the scale workload."""
     nbK = g_in2.shape[0]
     nb = nbK // K
     dtype = g_in2.dtype
@@ -154,8 +188,11 @@ def _chunk_update_flat(g_in2, g_in_lz, g_out2, g_out_lz, in_m, deg, phi_b,
         trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav, damp=damp,
         method=method, yy_off=yy_off, use_batched=use_batched,
         periodic=False, platform=platform)
+    marg = jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (q,))))(
+        bel_c, bel_lz)
+    bel_rows = bel_c.reshape(nb, -1) if keep_cores else None
     return (out_c.reshape(nbK, -1), out_lz.reshape(-1),
-            bel_c.reshape(nb, -1), bel_lz, f)
+            marg.reshape(nb, -1), bel_rows, bel_lz, f)
 
 
 def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
@@ -200,7 +237,7 @@ def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
     sc1 = _flat_scatter_jit(dev, 1)
 
     msg2, msg_lz = fs.msg2, fs.msg_logz
-    bel2, bel_lz, f_all = fs.bel2, fs.bel_logz, fs.f
+    marg_all, bel2, bel_lz, f_all = fs.marg, fs.bel2, fs.bel_logz, fs.f
     if jacobi:
         src2, src_lz = jnp.copy(msg2), jnp.copy(msg_lz)
     else:
@@ -254,47 +291,45 @@ def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
                 phi_h[ids_g] if phi_h.shape[0] != 1
                 else np.broadcast_to(phi_h, (len(ids_g), T1, q)))
 
+            if os.environ.get("MPBP_DEBUG_LAYOUT"):
+                print(f"[bigsweep] Kb={Kb} lo={lo} src2={src2.format.layout}"
+                      f" msg2={msg2.format.layout}", flush=True)
             gi2, gi_lz, go2, go_lz = gather(src2, src_lz, rows_in, rows_out)
-            out2, out_lz, bel_c, bel_lz_c, f_c = _chunk_update_flat(
+            out2, out_lz, marg_c, bel_c, bel_lz_c, f_c = _chunk_update_flat(
                 gi2, gi_lz, go2, go_lz, in_m, deg, phi_b,
                 Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
                 trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
                 damp=damp, method=method, yy_off=yy_off,
                 use_batched=use_batched, K=Kb, T1=T1, q=q,
-                platform=platform)
+                platform=platform, keep_cores=bel2 is not None)
 
             srows = jnp.asarray(out_e.reshape(-1))
-            msg2 = sc2(msg2, srows, out2)
+            msg2 = sc2(msg2, srows, _rowmajor(out2, dev))
             msg_lz = sc1(msg_lz, srows, out_lz)
             if not jacobi:
                 src2, src_lz = msg2, msg_lz
             brows = jnp.asarray(
                 np.concatenate([ids, np.full(pad, N, ids.dtype)]))
-            bel2 = sc2(bel2, brows, bel_c)
+            marg_all = sc2(marg_all, brows, _rowmajor(marg_c, dev))
+            if bel2 is not None:
+                bel2 = sc2(bel2, brows, _rowmajor(bel_c, dev))
             bel_lz = sc1(bel_lz, brows, bel_lz_c)
             f_all = sc1(f_all, brows, f_c)
+            # drain the dispatch queue: async run-ahead keeps every
+            # not-yet-executed chunk's gather outputs AND superseded donated
+            # message generations live at once — at 2.3 GiB per generation
+            # that ResourceExhausts the chip even though the steady-state
+            # fits easily.  A tiny device->host fetch (data-dependent; see
+            # CLAUDE.md on the tunnel) bounds run-ahead to one chunk.
+            np.asarray(msg_lz[:1]), np.asarray(f_all[:1])
 
-    return FlatState(msg2, msg_lz, bel2, bel_lz, f_all)
+    return FlatState(msg2, msg_lz, marg_all, bel_lz, f_all, bel2)
 
 
-@partial(jax.jit, static_argnames=("T1", "D", "q"))
-def _beliefs_chunk(bel_rows, bel_lz, *, T1, D, q):
-    cores = bel_rows.reshape(-1, T1, D, D, q)
-    return jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (q,))))(
-        cores, bel_lz)
-
-
-def flat_beliefs(fs: FlatState, T: int, D: int, q: int,
-                 chunk: int = 8192) -> np.ndarray:
-    """Single-site time marginals [N, T1, q], computed chunk-wise."""
-    N = fs.bel2.shape[0]
-    T1 = T + 1
-    out = np.empty((N, T1, q), np.float32)
-    for lo in range(0, N, chunk):
-        hi = min(lo + chunk, N)
-        out[lo:hi] = np.asarray(_beliefs_chunk(
-            fs.bel2[lo:hi], fs.bel_logz[lo:hi], T1=T1, D=D, q=q))
-    return out
+def flat_beliefs(fs: FlatState, T: int, D: int, q: int) -> np.ndarray:
+    """Single-site time marginals [N, T1, q] (stored resident, 40 MB at
+    N=1e5 — the belief TT cores are optional, see :class:`FlatState`)."""
+    return np.asarray(fs.marg).reshape(fs.marg.shape[0], T + 1, q)
 
 
 def flat_free_energy(fs: FlatState) -> float:
@@ -306,13 +341,11 @@ def iterate_flat(graph, tables, fs, trunc, T, D, maxiter: int = 50,
                  tol: float = 1e-6, probe: int = 2048, **kw):
     """Sweep until the max-abs belief-marginal change on a fixed probe
     subset of nodes drops below ``tol``.  Returns (fs, n_iters, delta)."""
-    q = tables.q
     nprobe = min(probe, graph.N)
     m_old = None
     for it in range(maxiter):
         fs = bp_sweep_flat(graph, tables, fs, trunc, T, D, **kw)
-        m_new = np.asarray(_beliefs_chunk(
-            fs.bel2[:nprobe], fs.bel_logz[:nprobe], T1=T + 1, D=D, q=q))
+        m_new = np.asarray(fs.marg[:nprobe])
         if m_old is not None:
             delta = float(np.max(np.abs(m_new - m_old)))
             if delta < tol:

@@ -25,3 +25,18 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# XLA:CPU's JIT has (reproducibly, ~1-in-2 full-suite runs on this box)
+# segfaulted inside backend_compile_and_load once a single process has
+# accumulated 50+ tests' worth of live LLVM compilations.  Dropping the
+# in-process executable caches between test modules releases the loaded
+# code objects; the persistent on-disk cache (.jax_cache_cpu) makes the
+# cross-module recompiles cheap loads instead of fresh LLVM work.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

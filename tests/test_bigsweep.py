@@ -31,7 +31,8 @@ def test_jacobi_sweep_bitexact_vs_chunked():
     tables = _tables(g, jnp.float32)
     T, D = 3, 8
     trunc = mp.TruncBond(D)
-    fs = bigsweep.flat_init(g, tables, T, D, dtype=jnp.float32)
+    fs = bigsweep.flat_init(g, tables, T, D, dtype=jnp.float32,
+                            belief_cores=True)
     fs1 = bigsweep.bp_sweep_flat(g, tables, fs, trunc, T, D, chunk=16,
                                  method="sketch", jacobi=True)
     bp = mp.mpbp(g, tables, T=T, D=D, dtype=jnp.float32)
