@@ -1,4 +1,4 @@
-"""Single-chip large-graph sweep on flat, layout-pinned resident state.
+"""Single-chip large-graph sweep on flat 2-D resident state.
 
 Why this module exists (all measured at the BASELINE scale target, SIS ER
 N=1e5/T=50/D=10, on a 16 GB v5e chip):
@@ -7,16 +7,19 @@ N=1e5/T=50/D=10, on a 16 GB v5e chip):
    XLA's default TPU layout for it is fine (edges on lanes, ~1.0x pad), but
    the per-chunk *gather* executable insists on a T1-minor operand and plans
    a relayout copy of the WHOLE array padded 51->128 x 10->16 — 49 GB at
-   N=5e4 — aborting compilation.  Gathering rows of a 2-D ``[E, cols]``
-   array with both operand and result layouts pinned row-major
-   (``jax.experimental.layout.Format``) compiles with a 0.6 GB temp
-   (scripts/probe_layout.py).
+   N=5e4 — aborting compilation.  Keeping the residents as flat 2-D
+   ``[E, cols]`` rows makes every layout XLA can pick pad ~1.0x, so a row
+   gather/scatter never plans a catastrophic relayout
+   (scripts/probe_layout.py documents the measurements; see
+   :func:`_flat_gather_jit` for why the jits carry no layout pins).
 2. ``bp_sweep_chunked`` is Jacobi: it double-buffers messages (old + new),
    so its resident set is 2x the message bytes — N=5e4 needs 24.5 GB.  This
    module sweeps *in place* (Gauss–Seidel: chunks read messages already
    updated by earlier chunks this sweep), which matches the reference's
    asynchronous ``iterate!`` semantics (``mpbp.jl:185-198``: threads
    read/write the shared message vector live) and halves residency.
+3. Belief TT cores are reduced to their time marginals before storage
+   (:class:`FlatState`), dropping another O(N*T1*D^2) resident.
 
 State lives ONLY as flat 2-D rows here; the logical 5-D/6-D views exist
 inside the chunk jits.  No reference counterpart: the Julia package's
@@ -114,53 +117,63 @@ def flat_init(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
 _JIT_CACHE: dict = {}
 
 
+def _dbg_mem(tag, jitted, *args, **kw):
+    """MPBP_DEBUG_MEM=1: print the executable's compile-time memory plan."""
+    try:
+        m = jitted.lower(*args, **kw).compile().memory_analysis()
+        print(f"[bigsweep:{tag}] temp={m.temp_size_in_bytes/2**30:.2f}GiB "
+              f"arg={m.argument_size_in_bytes/2**30:.2f} "
+              f"out={m.output_size_in_bytes/2**30:.2f} "
+              f"alias={m.alias_size_in_bytes/2**30:.2f}", flush=True)
+    except Exception as e:
+        print(f"[bigsweep:{tag}] memory_analysis failed: "
+              f"{' '.join(str(e).split())[:200]}", flush=True)
+
+
 def _flat_gather_jit(dev):
+    """Row gather of the resident 2-D arrays.
+
+    Layout note (measured through the axon relay): the executables' OUTPUT
+    layout constraints (``out_shardings``, ``with_layout_constraint``) are
+    silently dropped — after the first scatter the resident array's
+    reported layout flips to XLA's preference — so the jits here carry NO
+    layout pins and simply recompile for whatever layout the arrays carry
+    (the cache stabilizes after the first chunk).  What makes this safe is
+    the 2-D FLAT shape itself: for ``[E, T1*D*D*P]`` a row gather/scatter
+    pads ~1.0x in every layout XLA picks, whereas the 5-D logical shape
+    admitted a (8,128)-tiled T1-minor relayout of the WHOLE resident array
+    padded 4x — 49 GB at the N=5e4 scale shape (scripts/probe_layout.py).
+    """
     key = ("gather", dev)
     if key not in _JIT_CACHE:
         def g(m2, lz, rows_in, rows_out):
             return m2[rows_in], lz[rows_in], m2[rows_out], lz[rows_out]
-        f2, f1 = _fmt(dev, 2), _fmt(dev, 1)
-        kw = {}
-        if f2 is not None:
-            kw["in_shardings"] = (f2, f1, f1, f1)
-        _JIT_CACHE[key] = jax.jit(g, **kw)
+        _JIT_CACHE[key] = jax.jit(g)
     return _JIT_CACHE[key]
 
 
 def _flat_scatter_jit(dev, nd):
+    """Scatter rows into the donated resident buffer.
+
+    2-D values arrive TRANSPOSED ([cols, rows]): XLA's layout preference
+    puts dim0 minormost, so a [cols, rows] producer output is byte-identical
+    to row-major [rows, cols] — the in-jit ``.T`` is a bitcast, the update
+    operand is genuinely row-contiguous, and the scatter aliases the donated
+    buffer without flipping its layout.  (With [rows, cols] values the
+    producer emits rows-minor bytes and XLA relayouts the WHOLE donated
+    buffer to match — measured: every subsequent gather then plans a
+    full-resident relayout copy, 2.3 GiB/chunk at N=1e4.)
+    """
     key = ("scatter", dev, nd)
     if key not in _JIT_CACHE:
-        def s(buf, rows, vals):
-            return buf.at[rows].set(vals, mode="drop")
-        f = _fmt(dev, nd)
-        kw = {"donate_argnums": (0,)}
-        if f is not None:
-            # EVERY operand pinned row-major, output too.  XLA's scatter
-            # emitter overrides a requested output layout when the updates
-            # operand is transposed (measured at [3e4, 2e4]: (1,0) vals ->
-            # (1,0) output despite out_shardings), which would flip the
-            # resident array's layout and break the pinned gather on the
-            # next chunk; with all-row-major operands the constraint holds.
-            # Callers pre-normalize vals via _rowmajor_jit.
-            sh = jax.sharding.SingleDeviceSharding(dev)
-            kw["in_shardings"] = (f, sh, f)
-            kw["out_shardings"] = f
-        _JIT_CACHE[key] = jax.jit(s, **kw)
+        if nd == 2:
+            def s(buf, rows, valsT):
+                return buf.at[rows].set(valsT.T, mode="drop")
+        else:
+            def s(buf, rows, vals):
+                return buf.at[rows].set(vals, mode="drop")
+        _JIT_CACHE[key] = jax.jit(s, donate_argnums=(0,))
     return _JIT_CACHE[key]
-
-
-def _rowmajor(x, dev):
-    """Relayout a chunk-sized 2-D array to row-major (cheap copy) so the
-    pinned scatter accepts it; no-op when already row-major or off-TPU."""
-    f = _fmt(dev, x.ndim)
-    if f is None or x.ndim != 2:
-        return x
-    if x.format.layout.major_to_minor == (0, 1):
-        return x
-    key = ("rowmajor", dev)
-    if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(lambda a: a, out_shardings=f)
-    return _JIT_CACHE[key](x)
 
 
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
@@ -190,9 +203,10 @@ def _chunk_update_flat(g_in2, g_in_lz, g_out2, g_out_lz, in_m, deg, phi_b,
         periodic=False, platform=platform)
     marg = jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (q,))))(
         bel_c, bel_lz)
-    bel_rows = bel_c.reshape(nb, -1) if keep_cores else None
-    return (out_c.reshape(nbK, -1), out_lz.reshape(-1),
-            marg.reshape(nb, -1), bel_rows, bel_lz, f)
+    # 2-D outputs transposed ([cols, rows]) — see _flat_scatter_jit
+    bel_rows = bel_c.reshape(nb, -1).T if keep_cores else None
+    return (out_c.reshape(nbK, -1).T, out_lz.reshape(-1),
+            marg.reshape(nb, -1).T, bel_rows, bel_lz, f)
 
 
 def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
@@ -255,20 +269,28 @@ def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
                 Yb = max(Yb, yy_off + 1)
         else:
             Yb = Yg
+        # ``chunk`` is a NODE-SLOT budget: the update's temp footprint is
+        # ~5 MB per (node, in-edge) slot at T=50/D=10 (measured via
+        # MPBP_DEBUG_MEM), so high-degree buckets take proportionally fewer
+        # nodes per jit to keep peak HBM flat across buckets.
+        nodes_chunk = max(16, chunk // max(1, Kb))
         fused_ok = fused_stta.fused_supported(
             max(Dm, Dcav), max(Dm, Dcav), Yb, q, Dcav, dtype)
         use_batched = bool(
             method == "sketch"
             and (yy_off is not None or tb.Pyy.shape[0] == 1)
-            and min(len(idx), chunk) >= _BATCH_MIN_NODES
+            and min(len(idx), nodes_chunk) >= _BATCH_MIN_NODES
             and (fused_ok or _BATCH_MIN_NODES <= 1))
 
-        for lo in range(0, len(idx), chunk):
-            ids = idx[lo:lo + chunk]
+        for lo in range(0, len(idx), nodes_chunk):
+            ids = idx[lo:lo + nodes_chunk]
             nb_real = len(ids)
-            pad = chunk - nb_real if len(idx) > chunk else 0
+            pad = nodes_chunk - nb_real if len(idx) > nodes_chunk else 0
             ids_g = np.concatenate([ids, np.zeros(pad, ids.dtype)])
             in_e = g_ie = graph.in_edges[ids_g][:, :Kb]
+            # the bucket bound Kb may exceed the in_edges width (buckets
+            # group degree RANGES); the slice caps at the actual width
+            Ke = in_e.shape[1]
             in_m = jnp.asarray(graph.in_mask[ids_g][:, :Kb])
             out_e = out_edges_h[ids_g][:, :Kb].copy()
             if pad:
@@ -291,28 +313,36 @@ def bp_sweep_flat(graph: Graph, tables: RecursiveFactorTables,
                 phi_h[ids_g] if phi_h.shape[0] != 1
                 else np.broadcast_to(phi_h, (len(ids_g), T1, q)))
 
-            if os.environ.get("MPBP_DEBUG_LAYOUT"):
-                print(f"[bigsweep] Kb={Kb} lo={lo} src2={src2.format.layout}"
-                      f" msg2={msg2.format.layout}", flush=True)
+            if os.environ.get("MPBP_DEBUG_MEM"):
+                _dbg_mem("gather", gather, src2, src_lz, rows_in, rows_out)
+                _g2 = jax.ShapeDtypeStruct(
+                    (rows_in.size, src2.shape[1]), src2.dtype)
+                _g1 = jax.ShapeDtypeStruct((rows_in.size,), src_lz.dtype)
+                _dbg_mem("update", _chunk_update_flat, _g2, _g1, _g2, _g1,
+                         in_m, deg, phi_b, Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b,
+                         key, trunc=trunc, trunc_cav=trunc_cav, Dm=Dm,
+                         Dcav=Dcav, damp=damp, method=method, yy_off=yy_off,
+                         use_batched=use_batched, K=Ke, T1=T1, q=q,
+                         platform=platform, keep_cores=bel2 is not None)
             gi2, gi_lz, go2, go_lz = gather(src2, src_lz, rows_in, rows_out)
             out2, out_lz, marg_c, bel_c, bel_lz_c, f_c = _chunk_update_flat(
                 gi2, gi_lz, go2, go_lz, in_m, deg, phi_b,
                 Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
                 trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
                 damp=damp, method=method, yy_off=yy_off,
-                use_batched=use_batched, K=Kb, T1=T1, q=q,
+                use_batched=use_batched, K=Ke, T1=T1, q=q,
                 platform=platform, keep_cores=bel2 is not None)
 
             srows = jnp.asarray(out_e.reshape(-1))
-            msg2 = sc2(msg2, srows, _rowmajor(out2, dev))
+            msg2 = sc2(msg2, srows, out2)
             msg_lz = sc1(msg_lz, srows, out_lz)
             if not jacobi:
                 src2, src_lz = msg2, msg_lz
             brows = jnp.asarray(
                 np.concatenate([ids, np.full(pad, N, ids.dtype)]))
-            marg_all = sc2(marg_all, brows, _rowmajor(marg_c, dev))
+            marg_all = sc2(marg_all, brows, marg_c)
             if bel2 is not None:
-                bel2 = sc2(bel2, brows, _rowmajor(bel_c, dev))
+                bel2 = sc2(bel2, brows, bel_c)
             bel_lz = sc1(bel_lz, brows, bel_lz_c)
             f_all = sc1(f_all, brows, f_c)
             # drain the dispatch queue: async run-ahead keeps every

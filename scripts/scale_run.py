@@ -68,7 +68,7 @@ s = float(jnp.sum(fs.msg_logz))
 print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s "
       f"logz={s:.6g}", flush=True)
 
-m_old = bigsweep.flat_beliefs(fs, T, D, 2, chunk=CHUNK)
+m_old = bigsweep.flat_beliefs(fs, T, D, 2)
 t0 = time.perf_counter()
 for _ in range(SWEEPS):
     fs = bigsweep.bp_sweep_flat(g, tables, fs, trunc, T, D, phi=phi,
@@ -76,7 +76,7 @@ for _ in range(SWEEPS):
 # force completion with a data-dependent fetch (CLAUDE.md timing rule)
 s2 = float(jnp.sum(fs.msg_logz))
 dt = (time.perf_counter() - t0) / SWEEPS
-m_new = bigsweep.flat_beliefs(fs, T, D, 2, chunk=CHUNK)
+m_new = bigsweep.flat_beliefs(fs, T, D, 2)
 delta = float(np.max(np.abs(m_new - m_old)))
 print(json.dumps({
     "workload": f"SIS ER N={N} T={T} D={D} f32 sketch chunk={CHUNK} seidel",
