@@ -43,7 +43,9 @@ from .ops.tensortrain import TensorTrain, flat_tt, marginals, normalize
 from .ops.truncation import SVDTrunc
 
 __all__ = ["FlatState", "flat_init", "bp_sweep_flat", "flat_beliefs",
-           "flat_free_energy", "iterate_flat"]
+           "flat_free_energy", "iterate_flat",
+           "SegPlan", "SegState", "seg_init", "bp_sweep_seg",
+           "seg_beliefs", "seg_free_energy", "iterate_seg"]
 
 
 @jax.tree_util.register_dataclass
@@ -148,7 +150,16 @@ def _flat_gather_jit(dev):
     if key not in _JIT_CACHE:
         def g(m2, lz, rows_in, rows_out):
             return m2[rows_in], lz[rows_in], m2[rows_out], lz[rows_out]
-        _JIT_CACHE[key] = jax.jit(g)
+        f2 = _fmt(dev, 2)
+        kw = {}
+        if f2 is not None:
+            # pin the RESIDENT operand's entry layout to the gather
+            # emitter's internal want (row-major): the unpinned entry
+            # default is col-major and XLA then plans a full-resident
+            # relayout copy (11.4 GB at N=5e4) inside the executable.
+            sh = jax.sharding.SingleDeviceSharding(dev)
+            kw["in_shardings"] = (f2, sh, sh, sh)
+        _JIT_CACHE[key] = jax.jit(g, **kw)
     return _JIT_CACHE[key]
 
 
@@ -172,7 +183,17 @@ def _flat_scatter_jit(dev, nd):
         else:
             def s(buf, rows, vals):
                 return buf.at[rows].set(vals, mode="drop")
-        _JIT_CACHE[key] = jax.jit(s, donate_argnums=(0,))
+        f = _fmt(dev, nd)
+        kw = {"donate_argnums": (0,)}
+        if f is not None:
+            # entry pin == the scatter emitter's internal want (row-major):
+            # without it the entry defaults to col-major and the executable
+            # contains a full-size relayout copy of the donated buffer
+            # (measured: 11.44 GB HLO temp at N=5e4 -> compile OOM).  With
+            # matching entry layout the output aliases the donated buffer.
+            sh = jax.sharding.SingleDeviceSharding(dev)
+            kw["in_shardings"] = (f, sh, sh)
+        _JIT_CACHE[key] = jax.jit(s, **kw)
     return _JIT_CACHE[key]
 
 
@@ -382,3 +403,361 @@ def iterate_flat(graph, tables, fs, trunc, T, D, maxiter: int = 50,
                 return fs, it + 1, delta
         m_old = m_new
     return fs, maxiter, float("inf")
+
+
+# ---------------------------------------------------------------------------
+# segment-replacement sweep: the N >= ~3e4 single-chip mode
+# ---------------------------------------------------------------------------
+#
+# Through the axon relay, XLA executables ALWAYS emit big-buffer outputs in
+# the layout XLA prefers (edge axis on lanes), output layout constraints are
+# silently dropped, and `.at[rows].set` on a resident of this size plans a
+# full-buffer copy in every orientation/pin combination we measured
+# (scripts/probe_cycle.py).  So at N=5e4 (11.4 GiB messages) the resident
+# can neither be scattered into nor round-trip an executable boundary.  The
+# segment-replacement design never writes into the resident at all:
+#
+#   * nodes are ordered by EXACT degree; chunks are fixed node counts of one
+#     degree, so every chunk's out-edges are a contiguous, statically-sized
+#     row range of a new edge numbering;
+#   * messages live as a list of fixed-size SEGMENTS [cols, SEG_ROWS]
+#     (per-edge contiguous, layout-pinned at creation via device_put, which
+#     the relay honors);
+#   * a completed run of chunks REPLACES its segment wholesale (a Python
+#     rebind of the concatenated chunk outputs + one bounded device_put
+#     relayout) — zero full-resident copies, zero scatters;
+#   * reads are a single multi-segment gather executable whose pinned
+#     per-edge-contiguous operands gather copy-free (measured temp ~= out).
+#
+# Schedule: Gauss-Seidel across segments (later chunks read already-replaced
+# segments), Jacobi within a segment — on a single-degree-class graph one
+# sweep is bit-identical to the synchronous `bp_sweep` (gated in tests).
+
+
+class SegPlan:
+    """Host-side plan: node order, chunking, edge renumbering, per-chunk
+    in-edge addressing (segment, local row), segment boundaries."""
+
+    def __init__(self, graph: Graph, slots: int = 1024,
+                 seg_rows: int | None = None):
+        self.graph = graph
+        N, E = graph.N, graph.E
+        deg = np.asarray(graph.degree)
+        order = np.argsort(deg, kind="stable")
+        order = order[deg[order] > 0]          # isolated nodes have no msgs
+        self.isolated = np.asarray(deg == 0).nonzero()[0]
+
+        # chunks: fixed node count per exact degree class
+        chunks = []                            # (node_ids, d)
+        for d in np.unique(deg[order]):
+            ids = order[deg[order] == d]
+            nc = max(1, slots // int(d))
+            for lo in range(0, len(ids), nc):
+                chunks.append((ids[lo:lo + nc], int(d)))
+        self.chunks = chunks
+
+        # new edge numbering: chunk-major, slot order
+        out_edges = np.asarray(graph.out_edges)
+        in_edges = np.asarray(graph.in_edges)
+        new_of_old = np.full(E, -1, np.int64)
+        self.chunk_rows = []                   # rows_c per chunk
+        pos = 0
+        for ids, d in chunks:
+            olds = out_edges[ids][:, :d].reshape(-1)
+            new_of_old[olds] = pos + np.arange(olds.size)
+            self.chunk_rows.append(olds.size)
+            pos += olds.size
+        assert pos == E and (new_of_old >= 0).all()
+
+        # segments = consecutive chunks, padded to a fixed row capacity
+        target = seg_rows if seg_rows is not None else 8 * slots
+        seg_of_chunk, seg_start_chunk = [], [0]
+        rows_acc = 0
+        for c, r in enumerate(self.chunk_rows):
+            if rows_acc + r > target and rows_acc > 0:
+                seg_start_chunk.append(c)
+                rows_acc = 0
+            seg_of_chunk.append(len(seg_start_chunk) - 1)
+            rows_acc += r
+        self.seg_of_chunk = np.asarray(seg_of_chunk)
+        self.S = len(seg_start_chunk)
+        self.SEG_ROWS = target
+
+        # global row -> (segment, local row)
+        seg_id = np.empty(E, np.int32)
+        seg_local = np.empty(E, np.int32)
+        local = 0
+        cur = 0
+        pos = 0
+        for c, r in enumerate(self.chunk_rows):
+            if self.seg_of_chunk[c] != cur:
+                cur = int(self.seg_of_chunk[c])
+                local = 0
+            seg_id[pos:pos + r] = cur
+            seg_local[pos:pos + r] = local + np.arange(r)
+            self.chunk_rows[c] = (cur, local, r)   # (seg, local_lo, rows)
+            local += r
+            pos += r
+        assert (seg_local < target).all(), "segment overflow"
+
+        # per-chunk in-edge addressing: idx table [S, L] + slot positions
+        self.reads = []
+        L = 1
+        raw = []
+        for ids, d in chunks:
+            ine = in_edges[ids][:, :d].reshape(-1)
+            nr = new_of_old[ine]
+            s, l = seg_id[nr], seg_local[nr]
+            per_seg = [l[s == si] for si in range(self.S)]
+            L = max(L, max((len(p) for p in per_seg), default=1))
+            raw.append((s, l, per_seg))
+        self.L = int(L)
+        for (s, l, per_seg) in raw:
+            idxs = np.zeros((self.S, self.L), np.int32)
+            counters = np.zeros(self.S, np.int64)
+            slotpos = np.empty(s.size, np.int32)
+            for j in range(s.size):
+                si = s[j]
+                slotpos[j] = si * self.L + counters[si]
+                idxs[si, counters[si]] = l[j]
+                counters[si] += 1
+            self.reads.append((idxs, slotpos))
+
+
+def _seg_fmt(dev):
+    if dev.platform != "tpu":
+        return None
+    from jax.experimental import layout
+    return layout.Format(
+        layout.Layout(major_to_minor=(1, 0)),
+        jax.sharding.SingleDeviceSharding(dev))
+
+
+def _seg_repair(arr2, dev):
+    """Pin a freshly-produced [cols, SEG_ROWS] segment per-edge-contiguous
+    (device_put honors layouts through the relay; executables do not)."""
+    f = _seg_fmt(dev)
+    return jax.device_put(arr2, f) if f is not None else arr2
+
+
+class SegState:
+    """Mutable big-graph state: message segments + per-chunk node outputs."""
+
+    def __init__(self, plan: SegPlan, segs, seg_lz, marg, bel_lz, f):
+        self.plan = plan
+        self.segs = segs          # list[S] of [cols, SEG_ROWS]
+        self.seg_lz = seg_lz      # list[S] of [SEG_ROWS]
+        self.marg = marg          # list[#chunks] of [T1*q, nodes_c] or None
+        self.bel_lz = bel_lz      # list[#chunks] of [nodes_c]
+        self.f = f                # list[#chunks] of [nodes_c]
+
+
+def seg_init(plan: SegPlan, tables: RecursiveFactorTables, T: int, D: int,
+             dtype=jnp.float32, device=None) -> SegState:
+    dev = device if device is not None else jax.devices()[0]
+    q = tables.q
+    T1 = T + 1
+    msg = flat_tt(T1, D, (q, q), dtype)
+    m, _ = normalize(msg)
+    row = np.asarray(m.cores, dtype=dtype).reshape(-1)
+    col = np.broadcast_to(row[:, None], (row.size, plan.SEG_ROWS)).copy()
+    segs = [_seg_repair(jnp.asarray(col), dev) for _ in range(plan.S)]
+    seg_lz = [jnp.zeros(plan.SEG_ROWS, dtype) for _ in range(plan.S)]
+    nch = len(plan.chunks)
+    return SegState(plan, segs, seg_lz, [None] * nch, [None] * nch,
+                    [None] * nch)
+
+
+def _mg_jit(dev, S):
+    key = ("mg", dev, S)
+    if key not in _JIT_CACHE:
+        def mg(idxs, pos, *args):
+            segs, lzs = args[:S], args[S:]
+            parts = [seg[:, idxs[s]] for s, seg in enumerate(segs)]
+            allc = jnp.concatenate(parts, axis=1)          # [C, S*L]
+            lz = jnp.concatenate([z[idxs[s]] for s, z in enumerate(lzs)])
+            return allc[:, pos], lz[pos]
+        f = _seg_fmt(dev)
+        kw = {}
+        if f is not None:
+            sh = jax.sharding.SingleDeviceSharding(dev)
+            kw["in_shardings"] = (sh, sh) + (f,) * S + (sh,) * S
+        _JIT_CACHE[key] = jax.jit(mg, **kw)
+    return _JIT_CACHE[key]
+
+
+def _assemble_jit(dev, n):
+    key = ("asm", dev, n)
+    if key not in _JIT_CACHE:
+        def asm(pad_to, *parts):
+            cols = jnp.concatenate(parts, axis=1)
+            pad = pad_to - cols.shape[1]
+            return jnp.pad(cols, ((0, 0), (0, pad)))
+        _JIT_CACHE[key] = jax.jit(asm, static_argnums=(0,))
+    return _JIT_CACHE[key]
+
+
+def bp_sweep_seg(tables: RecursiveFactorTables, st: SegState, trunc,
+                 T: int, D: int, phi=None,
+                 trunc_cav=None, Dcav: int | None = None,
+                 method: str = "sketch") -> SegState:
+    """One segment-replacement sweep (Seidel across segments, Jacobi within).
+    Replaces ``st``'s contents in place and returns it.  damp/psi/periodic
+    are not supported on this path (free-dynamics scale workload)."""
+    from .ops import fused_stta
+    plan = st.plan
+    graph = plan.graph
+    dev = next(iter(st.segs[0].devices()))
+    fused_stta.set_active_platform(st.segs[0])
+    platform = fused_stta._active_platform()
+    trunc_cav = trunc if trunc_cav is None else trunc_cav
+    Dm = D
+    Dcav = Dm if Dcav is None else Dcav
+    q = tables.q
+    T1 = T + 1
+    tb = tables
+    yy_off = tb.yy_off
+    Yg = tb.Y
+    dtype = st.segs[0].dtype
+    key = jax.random.PRNGKey(17)
+    if tb.time_varying:
+        raise NotImplementedError("bp_sweep_seg: time-varying tables")
+    phi_h = (np.ones((1, T1, q), dtype) if phi is None
+             else np.asarray(phi, dtype))
+    mg = _mg_jit(dev, plan.S)
+
+    def nsel(t, nb):
+        return t if t.shape[0] == 1 else t[nb]
+
+    pending = []           # (seg, local_lo, rows, out2T, out_lz)
+    cur_seg = 0
+
+    def flush(seg_idx):
+        nonlocal pending
+        if not pending:
+            return
+        parts = [p[3] for p in pending]
+        lzs = [p[4] for p in pending]
+        asm = _assemble_jit(dev, len(parts))
+        new = asm(plan.SEG_ROWS, *parts)
+        newlz = jnp.pad(jnp.concatenate(lzs),
+                        (0, plan.SEG_ROWS - sum(p[2] for p in pending)))
+        st.segs[seg_idx] = _seg_repair(new, dev)
+        st.seg_lz[seg_idx] = newlz
+        pending = []
+        # drain the dispatch queue (bounded run-ahead; see bp_sweep_flat)
+        np.asarray(st.seg_lz[seg_idx][:1])
+
+    for c, (ids, d) in enumerate(plan.chunks):
+        seg_idx = int(plan.seg_of_chunk[c])
+        if seg_idx != cur_seg:
+            flush(cur_seg)
+            cur_seg = seg_idx
+        idxs, slotpos = plan.reads[c]
+        gT, glz = mg(jnp.asarray(idxs), jnp.asarray(slotpos),
+                     *st.segs, *st.seg_lz)
+
+        nb = len(ids)
+        if tb.ydims is not None:
+            Yb = max(1, min(Yg, tb.ydims[min(d, len(tb.ydims) - 1)]))
+            if yy_off is not None:
+                Yb = max(Yb, yy_off + 1)
+        else:
+            Yb = Yg
+        fused_ok = fused_stta.fused_supported(
+            max(Dm, Dcav), max(Dm, Dcav), Yb, q, Dcav, dtype)
+        use_batched = bool(
+            method == "sketch"
+            and (yy_off is not None or tb.Pyy.shape[0] == 1)
+            and nb >= _BATCH_MIN_NODES
+            and (fused_ok or _BATCH_MIN_NODES <= 1))
+        nb_j = jnp.asarray(ids)
+        Py_b = nsel(tb.Py, nb_j)[..., :Yb]
+        Pyp_b = nsel(tb.Pyp, nb_j)[:, :d][..., :Yb]
+        Pxy_b = nsel(tb.Pxy, nb_j)[:, :d][..., :Yb, :, :]
+        Py0_b = nsel(tb.Py0, nb_j)[..., :Yb, :]
+        if yy_off is None:
+            Pyy_b = nsel(tb.Pyy, nb_j)[:, :min(d, tb.Pyy.shape[1])]
+            Pyy_b = Pyy_b[..., :Yb, :Yb, :Yb, :]
+        else:
+            Pyy_b = nsel(tb.Pyy, nb_j)
+        phi_b = jnp.asarray(
+            phi_h[ids] if phi_h.shape[0] != 1
+            else np.broadcast_to(phi_h, (nb, T1, q)))
+        in_m = jnp.ones((nb, d), bool)
+        degv = jnp.full((nb,), d, jnp.int32)
+
+        out2T, out_lz, marg_c, _, bel_lz_c, f_c = _chunk_update_seg(
+            gT, glz, in_m, degv, phi_b, Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b,
+            key, trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav,
+            method=method, yy_off=yy_off, use_batched=use_batched, K=d,
+            T1=T1, q=q, platform=platform)
+        seg, lo, rows = plan.chunk_rows[c]
+        pending.append((seg, lo, rows, out2T, out_lz))
+        st.marg[c] = marg_c
+        st.bel_lz[c] = bel_lz_c
+        st.f[c] = f_c
+    flush(cur_seg)
+    return st
+
+
+@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
+                                  "method", "yy_off", "use_batched",
+                                  "K", "T1", "q", "platform"))
+def _chunk_update_seg(gT, glz, in_m, deg, phi_b, Py_b, Pyp_b, Pxy_b, Py0_b,
+                      Pyy_b, key, *, trunc, trunc_cav, Dm, Dcav, method,
+                      yy_off, use_batched, K, T1, q, platform=None):
+    """Segment-mode chunk update: input arrives column-major ([cols, nbK]);
+    no out-old gather (damping unsupported here)."""
+    g2 = gT.T
+    nbK = g2.shape[0]
+    nb = nbK // K
+    dtype = g2.dtype
+    mi = g2.reshape(nb, K, T1, Dm, Dm, q * q)
+    psi_out = jnp.ones((nb, K, T1, q, q), dtype)
+    out_c, out_lz, bel_c, bel_lz, f = _chunk_update.__wrapped__(
+        mi, glz.reshape(nb, K), mi, glz.reshape(nb, K), psi_out,
+        in_m, deg, phi_b, Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
+        trunc=trunc, trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav, damp=0.0,
+        method=method, yy_off=yy_off, use_batched=use_batched,
+        periodic=False, platform=platform)
+    marg = jax.vmap(lambda c, z: marginals(TensorTrain(c, z, (q,))))(
+        bel_c, bel_lz)
+    return (out_c.reshape(nbK, -1).T, out_lz.reshape(-1),
+            marg.reshape(nb, -1).T, None, bel_lz, f)
+
+
+def seg_beliefs(st: SegState, T: int, q: int) -> np.ndarray:
+    """[N, T1, q] marginals assembled from the per-chunk outputs (isolated
+    nodes keep the uniform prior)."""
+    plan = st.plan
+    N = plan.graph.N
+    T1 = T + 1
+    out = np.full((N, T1, q), 1.0 / q, np.float32)
+    for (ids, d), m in zip(plan.chunks, st.marg):
+        if m is not None:
+            out[ids] = np.asarray(m).T.reshape(len(ids), T1, q)
+    return out
+
+
+def seg_free_energy(st: SegState) -> float:
+    return float(sum(float(jnp.sum(f)) for f in st.f if f is not None))
+
+
+def iterate_seg(tables, st: SegState, trunc, T, D, maxiter: int = 50,
+                tol: float = 1e-6, probe_chunks: int = 8, **kw):
+    """Sweep to convergence on the belief marginals of a probe subset of
+    chunks (evenly spread across the chunk list)."""
+    nch = len(st.plan.chunks)
+    sel = list(range(0, nch, max(1, nch // max(1, probe_chunks))))
+    m_old = None
+    for it in range(maxiter):
+        st = bp_sweep_seg(tables, st, trunc, T, D, **kw)
+        m_new = np.concatenate(
+            [np.asarray(st.marg[c]).reshape(-1) for c in sel])
+        if m_old is not None:
+            delta = float(np.max(np.abs(m_new - m_old)))
+            if delta < tol:
+                return st, it + 1, delta
+        m_old = m_new
+    return st, maxiter, float("inf")

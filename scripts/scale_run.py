@@ -57,29 +57,28 @@ phi[:, 0, 0] = 0.7
 phi[:, 0, 1] = 0.3
 trunc = mp.TruncBond(D)
 
-fs = bigsweep.flat_init(g, tables, T, D, dtype=jnp.float32)
-msg_bytes = int(np.prod(fs.msg2.shape) * 4)
-print(f"resident messages: {msg_bytes/2**30:.2f} GiB", flush=True)
+plan = bigsweep.SegPlan(g, slots=CHUNK)
+st = bigsweep.seg_init(plan, tables, T, D, dtype=jnp.float32)
+msg_bytes = int(plan.S * plan.SEG_ROWS * st.segs[0].shape[0] * 4)
+print(f"resident messages: {msg_bytes/2**30:.2f} GiB "
+      f"(S={plan.S} segments, {len(plan.chunks)} chunks)", flush=True)
 
 t0 = time.perf_counter()
-fs = bigsweep.bp_sweep_flat(g, tables, fs, trunc, T, D, phi=phi,
-                            method="sketch", chunk=CHUNK)
-s = float(jnp.sum(fs.msg_logz))
-print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s "
-      f"logz={s:.6g}", flush=True)
+st = bigsweep.bp_sweep_seg(tables, st, trunc, T, D, phi=phi,
+                           method="sketch")
+print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s", flush=True)
 
-m_old = bigsweep.flat_beliefs(fs, T, D, 2)
+m_old = bigsweep.seg_beliefs(st, T, 2)
 t0 = time.perf_counter()
 for _ in range(SWEEPS):
-    fs = bigsweep.bp_sweep_flat(g, tables, fs, trunc, T, D, phi=phi,
-                                method="sketch", chunk=CHUNK)
-# force completion with a data-dependent fetch (CLAUDE.md timing rule)
-s2 = float(jnp.sum(fs.msg_logz))
+    st = bigsweep.bp_sweep_seg(tables, st, trunc, T, D, phi=phi,
+                               method="sketch")
+# the per-segment drains already forced completion sweep-by-sweep
 dt = (time.perf_counter() - t0) / SWEEPS
-m_new = bigsweep.flat_beliefs(fs, T, D, 2)
+m_new = bigsweep.seg_beliefs(st, T, 2)
 delta = float(np.max(np.abs(m_new - m_old)))
 print(json.dumps({
-    "workload": f"SIS ER N={N} T={T} D={D} f32 sketch chunk={CHUNK} seidel",
+    "workload": f"SIS ER N={N} T={T} D={D} f32 sketch slots={CHUNK} seg",
     "sweep_s": round(dt, 3),
     "edge_updates_per_s": round(g.E / dt, 1),
     "last_sweep_delta": delta,

@@ -72,3 +72,41 @@ def test_iterate_flat_converges_and_damping_runs():
         g, tables, fs, mp.TruncBond(D), T, D, maxiter=30, tol=1e-4,
         chunk=8, method="sketch", damp=0.2)
     assert nit < 30 and delta < 1e-4   # f32 sketch noise floor ~4e-5
+
+
+def test_seg_sweep_matches_bp_sweep_one_sweep():
+    """Segment-replacement mode (single chunk => pure Jacobi) reproduces
+    the synchronous ``bp_sweep`` on a 3-regular graph (one degree class)."""
+    from matrixproductbp_tpu.graph import random_regular_graph
+    rng = np.random.default_rng(3)
+    g = random_regular_graph(16, 3, rng)
+    tables = _tables(g, jnp.float32)
+    T, D = 3, 9
+    trunc = mp.TruncBond(D)
+    plan = bigsweep.SegPlan(g, slots=64)
+    st = bigsweep.seg_init(plan, tables, T, D, dtype=jnp.float32)
+    st = bigsweep.bp_sweep_seg(tables, st, trunc, T, D, method="sketch")
+    bp1 = mp.bp_sweep(mp.mpbp(g, tables, T=T, D=D, dtype=jnp.float32),
+                      trunc, method="sketch")
+    b_seg = bigsweep.seg_beliefs(st, T, 2)
+    b_std = np.asarray(mp.beliefs(bp1))
+    assert np.abs(b_seg - b_std).max() < 1e-6     # f32 ulp-level
+
+
+def test_seg_fixed_point_matches_exact_tree():
+    """Multi-chunk multi-segment Seidel converges to the exact tree
+    marginals and the Bethe free energy identity (f64)."""
+    g = mp.graph_from_edges(6, [(0, 1), (1, 2), (1, 3), (3, 4), (3, 5)])
+    tables = _tables(g, jnp.float64)
+    T, D = 3, 12
+    plan = bigsweep.SegPlan(g, slots=4, seg_rows=8)
+    st = bigsweep.seg_init(plan, tables, T, D, dtype=jnp.float64)
+    st, nit, delta = bigsweep.iterate_seg(
+        tables, st, mp.TruncBond(D), T, D, maxiter=40, tol=1e-11,
+        method="sketch")
+    b = bigsweep.seg_beliefs(st, T, 2).astype(np.float64)
+    bp = mp.mpbp(g, tables, T=T, D=D)
+    err = np.abs(b - exact.exact_marginals(bp)).max()
+    assert err < 1e-6      # seg_beliefs returns f32
+    _, Z = exact.exact_prob(bp)
+    assert np.isclose(-bigsweep.seg_free_energy(st), np.log(Z), atol=1e-5)
