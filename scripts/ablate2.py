@@ -1,4 +1,6 @@
 """Second ablation: scan unrolling + batch scaling of the STTA merge."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import os
 import time
@@ -9,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -4,6 +4,8 @@ Hypothesis: merge tensors have trailing dims 2..14; TPU tiles are (8,128), so
 batch-first layouts waste 9-64x of every lane. Packing the node batch into
 the minor-most axis should recover most of it.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import os
 import time
@@ -13,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -1,16 +1,12 @@
-"""Compare the vmap-per-node sketch path against the bucket-batched one."""
-import json, time
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import json, os, time
 import jax, jax.numpy as jnp, numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import matrixproductbp_tpu as mp
-import matrixproductbp_tpu.bp as bpmod
 from matrixproductbp_tpu.graph import random_regular_graph
 from matrixproductbp_tpu.models import SIS, mpbp_sis
-
-bpmod._BATCH_MIN_NODES = 10 ** 9   # force the vmap path
+import matrixproductbp_tpu as mp
 
 rng = np.random.default_rng(0)
 g = random_regular_graph(4096, 3, rng)
@@ -27,5 +23,4 @@ for _ in range(3):
     cur = mp.bp_sweep(cur, trunc, method="sketch")
 float(jnp.sum(cur.msg_logz))
 dt = (time.perf_counter() - t0) / 3
-print(json.dumps({"path": "vmap", "sweep_s": dt,
-                  "edge_updates_per_s": g.E / dt}), flush=True)
+print(json.dumps({"sweep_s": dt, "edge_updates_per_s": g.E / dt}), flush=True)
