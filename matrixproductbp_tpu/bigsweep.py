@@ -733,7 +733,8 @@ def seg_beliefs(st: SegState, T: int, q: int) -> np.ndarray:
     plan = st.plan
     N = plan.graph.N
     T1 = T + 1
-    out = np.full((N, T1, q), 1.0 / q, np.float32)
+    dtype = np.dtype(st.segs[0].dtype) if st.segs else np.float32
+    out = np.full((N, T1, q), 1.0 / q, dtype)
     for (ids, d), m in zip(plan.chunks, st.marg):
         if m is not None:
             out[ids] = np.asarray(m).T.reshape(len(ids), T1, q)

@@ -442,7 +442,11 @@ def _merge_fstep_kernel_lean(lt, bt, pyy, ft, wt, wt1, sinit, nt_out, mt_out,
             tyx = t2[y][x]
             acc = None                              # [e, b, L]
             for n in range(DL):
-                c = jnp.sum(tyx[:, n, :, None, :] * Wt1[n][None, :, :, :],
+                # NB: keep the static-int index and the newaxis insert as
+                # SEPARATE getitems — a mixed `[:, n, :, None, :]` is
+                # rewritten by jnp into a lax.gather, and Mosaic only
+                # lowers 2-D gathers (fails at D=20 on real TPU).
+                c = jnp.sum(tyx[:, n][:, :, None, :] * Wt1[n][None, :, :, :],
                             axis=1)
                 acc = c if acc is None else acc + c
             nt_out[0, :, y, x, :, :] = acc

@@ -54,10 +54,10 @@ def test_seidel_fixed_point_matches_exact_tree():
     fs, nit, delta = bigsweep.iterate_flat(g, tables, fs, trunc, T, D,
                                            maxiter=40, tol=1e-12, chunk=8,
                                            method="sketch")
-    b = bigsweep.flat_beliefs(fs, T, D, tables.q).astype(np.float64)
+    b = bigsweep.flat_beliefs(fs, T, D, tables.q)
     bp = mp.mpbp(g, tables, T=T, D=D, dtype=jnp.float64)  # oracle container
     b_ex = exact.exact_marginals(bp)
-    assert np.abs(b - b_ex).max() < 1e-6   # flat_beliefs returns f32
+    assert np.abs(b - b_ex).max() < 1e-7   # f64 end-to-end (iteration residual)
     # free energy identity on the tree: -F == log Z
     _, Z = exact.exact_prob(bp)
     assert np.isclose(-bigsweep.flat_free_energy(fs), np.log(Z), atol=1e-5)
@@ -104,9 +104,9 @@ def test_seg_fixed_point_matches_exact_tree():
     st, nit, delta = bigsweep.iterate_seg(
         tables, st, mp.TruncBond(D), T, D, maxiter=40, tol=1e-11,
         method="sketch")
-    b = bigsweep.seg_beliefs(st, T, 2).astype(np.float64)
+    b = bigsweep.seg_beliefs(st, T, 2)
     bp = mp.mpbp(g, tables, T=T, D=D)
     err = np.abs(b - exact.exact_marginals(bp)).max()
-    assert err < 1e-6      # seg_beliefs returns f32
+    assert err < 1e-7      # beliefs follow the state dtype (f64 here)
     _, Z = exact.exact_prob(bp)
     assert np.isclose(-bigsweep.seg_free_energy(st), np.log(Z), atol=1e-5)
