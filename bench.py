@@ -39,7 +39,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N_NODES = 4096
-N_NODES_D20 = 1024  # D=20 working set (~D^2 per bond) would OOM 16 GB at 4096
+D20_CHUNK = 1024    # D=20 runs the full N=4096 graph via the chunked sweep
+                    # (whole-jit temps would OOM 16 GB; chunk temps are O(chunk))
 DEGREE = 3
 T_HORIZON = 15
 SWEEPS = 3
@@ -53,6 +54,7 @@ RESULT = {
     "vs_baseline": None,
     "d20_edge_updates_per_s": None,
     "belief_l1_vs_exact": None,
+    "karate_converge_s": None,
     "roofline": None,
 }
 
@@ -84,20 +86,26 @@ def _short_err(e, n=160):
     return "error: " + " ".join(str(e).split())[:n]
 
 
-def timed_sweeps(bp, device, sweeps, D):
+def timed_sweeps(bp, device, sweeps, D, chunk=None):
     import jax.numpy as jnp
     import matrixproductbp_tpu as mp
 
     bp = jax.device_put(bp, device)
     trunc = mp.TruncBond(D)
+
+    def sweep(b):
+        if chunk is not None:
+            return mp.bp_sweep_chunked(b, trunc, method=METHOD, chunk=chunk)
+        return mp.bp_sweep(b, trunc, method=METHOD)
+
     # compile + warmup; the final float() forces a real device->host fetch
     # (block_until_ready alone does not synchronize through the TPU tunnel)
-    out = mp.bp_sweep(bp, trunc, method=METHOD)
+    out = sweep(bp)
     float(jnp.sum(out.msg_logz))
     t0 = time.perf_counter()
     cur = out
     for _ in range(sweeps):
-        cur = mp.bp_sweep(cur, trunc, method=METHOD)
+        cur = sweep(cur)
     float(jnp.sum(cur.msg_logz))
     return (time.perf_counter() - t0) / sweeps
 
@@ -113,8 +121,11 @@ def accuracy_line(accel):
     g = mp.graph_from_edges(4, [(0, 1), (0, 2), (2, 3)])
     sis = SIS(g, lam=0.2, rho=0.1, T=3, gamma=0.3)
     bp32 = jax.device_put(mpbp_sis(sis, D=10, dtype=jnp.float32), accel)
+    # converge on the fast path, then 2 deterministic full-precision polish
+    # sweeps (iterate(polish=...)): removes the TPU default-matmul-precision
+    # (bf16-pass) noise and the sketch randomization from the final beliefs
     bp32, _, _ = mp.iterate(bp32, maxiter=10, trunc=mp.TruncBond(10), tol=0.0,
-                            method=METHOD)
+                            method=METHOD, polish=2)
     b32 = np.asarray(mp.beliefs(bp32))
 
     cpu = jax.devices("cpu")[0]
@@ -123,6 +134,44 @@ def accuracy_line(accel):
         p_ex, _ = exact.exact_prob(bp64)
         b_ex = np.asarray(exact.exact_marginals(bp64, p_ex))
     return float(np.abs(b32 - b_ex).max())
+
+
+# Zachary karate club (34 nodes, 78 undirected edges) — the reference's
+# representative workload (notebooks/sis_karate_club_network.ipynb).
+KARATE_EDGES = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8), (0, 10),
+    (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21), (0, 31), (1, 2),
+    (1, 3), (1, 7), (1, 13), (1, 17), (1, 19), (1, 21), (1, 30), (2, 3),
+    (2, 7), (2, 8), (2, 9), (2, 13), (2, 27), (2, 28), (2, 32), (3, 7),
+    (3, 12), (3, 13), (4, 6), (4, 10), (5, 6), (5, 10), (5, 16), (6, 16),
+    (8, 30), (8, 32), (8, 33), (9, 33), (13, 33), (14, 32), (14, 33),
+    (15, 32), (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+    (22, 32), (22, 33), (23, 25), (23, 27), (23, 29), (23, 32), (23, 33),
+    (24, 25), (24, 27), (24, 31), (25, 31), (26, 29), (26, 33), (27, 33),
+    (28, 31), (28, 33), (29, 32), (29, 33), (30, 32), (30, 33), (31, 32),
+    (31, 33), (32, 33),
+]
+
+
+def karate_converge(accel, T=50, D=10, maxiter=100, tol=1e-6):
+    """Wall-clock to BP fixed point on karate-club SIS (compile excluded by a
+    1-sweep warmup ``iterate`` on the same shapes)."""
+    import matrixproductbp_tpu as mp
+    from matrixproductbp_tpu.models import SIS, mpbp_sis
+    import jax.numpy as jnp
+
+    g = mp.graph_from_edges(34, KARATE_EDGES)
+    sis = SIS(g, lam=0.2, rho=0.1, T=T, gamma=0.1)
+    trunc = mp.TruncBond(D)
+    bp = jax.device_put(mpbp_sis(sis, D=D, dtype=jnp.float32), accel)
+    mp.iterate(bp, maxiter=1, trunc=trunc, tol=0.0, method=METHOD)  # warmup
+    bp = jax.device_put(mpbp_sis(sis, D=D, dtype=jnp.float32), accel)
+    t0 = time.perf_counter()
+    _, n_it, _ = mp.iterate(bp, maxiter=maxiter, trunc=trunc, tol=tol,
+                            method=METHOD)
+    dt = time.perf_counter() - t0
+    return {"seconds": round(dt, 3), "iters": n_it,
+            "params": f"karate N=34 T={T} D={D} tol={tol}"}
 
 
 def main():
@@ -156,13 +205,23 @@ def main():
         RESULT["belief_l1_vs_exact"] = _short_err(e)
     emit()
 
-    # ---- phase 3: D=20 (smaller graph; rate is per-edge so N cancels) ------
+    # ---- phase 3: D=20 on the full N=4096 graph via the chunked sweep ------
     try:
-        bp20, g20 = build(dtype, 20, N_NODES_D20)
-        dt20 = timed_sweeps(bp20, accel, SWEEPS, 20)
+        bp20, g20 = build(dtype, 20, N_NODES)
+        dt20 = timed_sweeps(bp20, accel, SWEEPS, 20, chunk=D20_CHUNK)
         RESULT["d20_edge_updates_per_s"] = round(g20.E / dt20, 2)
     except Exception as e:
         RESULT["d20_edge_updates_per_s"] = _short_err(e)
+    emit()
+
+    # ---- phase 3b: end-to-end convergence wall-clock (karate-club SIS) -----
+    # reference params: notebooks/sis_karate_club_network.ipynb — N=34, T=50,
+    # bond 10, maxiter=100, tol=1e-6.  Measures user-visible time-to-fixed-
+    # point (post-compile), not steady-state throughput.
+    try:
+        RESULT["karate_converge_s"] = karate_converge(accel)
+    except Exception as e:
+        RESULT["karate_converge_s"] = _short_err(e)
     emit()
 
     # ---- phase 4: vs_baseline = same impl on the host CPU -------------------

@@ -22,6 +22,7 @@ from .ops import (SVDTrunc, TruncThresh, TruncBond, TruncBondMax,
 from .graph import (Graph, graph_from_edges, random_regular_graph,
                     erdos_renyi_graph, random_tree, star_graph, path_graph)
 from .factors import (RecursiveFactorTables, FactorSpec, TraceFactorSpec,
+                      RestrictedFactorSpec,
                       DampedFactorSpec, build_tables, build_tables_t,
                       transition_probs)
 from .bp import (MPBP, mpbp, periodic_mpbp, bp_sweep, bp_sweep_chunked,

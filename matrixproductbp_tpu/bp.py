@@ -83,15 +83,21 @@ class MPBP:
     graph: Graph = dataclasses.field(metadata=dict(static=True))
     periodic: bool = dataclasses.field(default=False,
                                        metadata=dict(static=True))
+    #: per-node state counts for heterogeneous-q models (reference ``q``
+    #: vector, ``mpbp.jl:60-70``); None = homogeneous (``tables.q`` for all).
+    #: States ``x >= qs[i]`` are padding with zero probability (masked
+    #: through ``phi``), which is exact — see :func:`mpbp`.
+    qs: tuple | None = dataclasses.field(default=None,
+                                         metadata=dict(static=True))
 
     def tree_flatten(self):
         return ((self.tables, self.phi, self.psi, self.msg_cores, self.msg_logz,
                  self.bel_cores, self.bel_logz, self.f, self.garrays),
-                (self.graph, self.periodic))
+                (self.graph, self.periodic, self.qs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
+        return cls(*children, *aux)
 
     # reference getT / getN / nstates (mpbp.jl:35-37)
     @property
@@ -112,15 +118,28 @@ class MPBP:
 
 
 def mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
-         phi=None, psi=None, dtype=jnp.float64, periodic: bool = False) -> MPBP:
+         phi=None, psi=None, dtype=jnp.float64, periodic: bool = False,
+         qs=None) -> MPBP:
     """Construct a flat-initialised state (reference ``mpbp`` at
-    ``mpbp.jl:60-70``; ``periodic_mpbp`` at ``mpbp.jl:399-409``)."""
+    ``mpbp.jl:60-70``; ``periodic_mpbp`` at ``mpbp.jl:399-409``).
+
+    ``qs``: optional per-node state counts (the reference's ``q`` vector,
+    ``mpbp.jl:60``) for heterogeneous-q models.  Tables must be built padded
+    to ``max(qs)`` (specs returning 0 for own-states ``>= q_i``); the
+    constructor zeroes ``phi[i, :, x]`` for ``x >= qs[i]``, which removes the
+    padded states exactly — every trajectory visiting one carries zero
+    reweighting at every time step."""
     N, E, q = graph.N, graph.E, tables.q
     T1 = T + 1
     if phi is None:
         phi = jnp.ones((N, T1, q), dtype)
     else:
         phi = jnp.asarray(phi, dtype)
+    if qs is not None:
+        qs = tuple(int(x) for x in qs)
+        assert len(qs) == N and max(qs) <= q
+        qmask = np.arange(q)[None, :] < np.asarray(qs)[:, None]   # [N, q]
+        phi = phi * jnp.asarray(qmask[:, None, :], dtype)
     if psi is None:
         psi = jnp.ones((E, T1, q, q), dtype)
     else:
@@ -139,7 +158,7 @@ def mpbp(graph: Graph, tables: RecursiveFactorTables, T: int, D: int,
         jnp.zeros((E,), dtype),
         jnp.broadcast_to(bel.cores, (N,) + bel.cores.shape).copy(),
         jnp.zeros((N,), dtype),
-        jnp.zeros((N,), dtype), ga, graph, periodic,
+        jnp.zeros((N,), dtype), ga, graph, periodic, qs,
     )
 
 
@@ -611,20 +630,26 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
         (Nb, K, q, q, q, Dcc, Dcc)).reshape(1, Nb * K, -1)
     B3_tm = jnp.concatenate([main_tm, last_tm], axis=0)
     def mp3(b3, lz, Dout, allow_fused):
-        # fused Pallas scans on TPU (ops/fused_stta.py); XLA scans otherwise.
-        # The *message* conversion (the [Nb*K] batch) stays on the XLA path:
-        # fusing it measurably inflates the sweep's peak HBM temp by ~8 GB
-        # (buffer-assignment interaction with the surrounding einsums;
-        # measured via compiled.memory_analysis(), 16.15 vs 8.09 GB) and
-        # OOMs the 16 GB chip at bench scale.  The belief conversion is
-        # small and fuses for free.
+        # fused Pallas scans on TPU (ops/fused_stta.py); XLA scans otherwise
         if allow_fused and fused_stta.mpem3_fused_supported(
                 b3.shape[2], b3.shape[4], b3.shape[5], Dout, b3.dtype):
             return fused_stta.mpem3_stta_fused(
                 b3, lz, Dout, key, interpret=fused_stta._FORCE_INTERPRET)
         return mpem3_stta_batched(b3, lz, Dout, key, stagger=stagger)
-    out_c, out_lz0 = mpem3_stta_batched_tm(
-        B3_tm, Cs_lz.reshape(Nb * K), Dcc, q, q, Dm, key, stagger=stagger)
+    # message conversion: fused kernels consume the time-major FLAT layout
+    # directly (mpem3_stta_fused_tm).  The round-3 fusion attempt went
+    # through the 7-D B3 whose padded tiled layout cost +8 GB HBM at bench
+    # scale (16.15 vs 8.09 GB by compiled.memory_analysis()); the tm entry
+    # keeps the full-batch array flat (pads ~1.0x) and pays the padded
+    # lanes-last copies only per 2048-instance chunk.
+    if fused_stta.mpem3_fused_supported(Dcc, q, q, Dm, dtype):
+        out_c, out_lz0 = fused_stta.mpem3_stta_fused_tm(
+            B3_tm, Cs_lz.reshape(Nb * K), Dcc, q, q, Dm, key,
+            interpret=fused_stta._FORCE_INTERPRET)
+    else:
+        out_c, out_lz0 = mpem3_stta_batched_tm(
+            B3_tm, Cs_lz.reshape(Nb * K), Dcc, q, q, Dm, key,
+            stagger=stagger)
     # batched normalize_eachmatrix + normalize
     m = _safe_scale(jnp.max(jnp.abs(out_c), axis=(2, 3, 4)))    # [NbK, T1]
     out_c = out_c / m[:, :, None, None, None]
@@ -838,7 +863,8 @@ def bp_sweep(bp: MPBP, trunc: SVDTrunc, trunc_cav: SVDTrunc | None = None,
         f_all = f_all.at[nb].set(f)
 
     return MPBP(bp.tables, bp.phi, bp.psi, new_cores, new_lz,
-                bel_c_all, bel_lz_all, f_all, ga, bp.graph)
+                bel_c_all, bel_lz_all, f_all, ga, bp.graph, bp.periodic,
+                bp.qs)
 
 
 _bp_sweep_jit = bp_sweep
@@ -888,19 +914,14 @@ def _chunk_gather(msg_cores, msg_logz, psi, in_e, out_idx):
             msg_logz[out_idx], psi[out_idx])
 
 
-@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
-                                   "damp", "method", "yy_off", "use_batched",
-                                   "periodic", "platform"))
-def _chunk_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
-                  psi_out, in_m, deg, phi_b,
-                  Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc, trunc_cav,
-                  Dm, Dcav, damp, method, yy_off, use_batched, periodic,
-                  platform=None):
-    """One node-chunk of a sweep (jitted once per chunk/bucket shape).
-
-    Operates on pre-gathered chunk arrays (see :func:`_chunk_gather` for why
-    the gather must not live in this executable).
-    """
+def _chunk_update_body(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
+                       psi_out, in_m, deg, phi_b,
+                       Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc,
+                       trunc_cav, Dm, Dcav, damp, method, yy_off, use_batched,
+                       periodic):
+    """One node-chunk of a sweep: the traceable body shared by
+    :func:`_chunk_update` (single chip) and the halo sweep's per-device
+    bucketed update (``parallel/halo.py``)."""
     if use_batched:
         return _bucket_update_batched(
             msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
@@ -931,6 +952,26 @@ def _chunk_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
       py, pyp, pxy, py0, phi_b, deg, pyy)
 
 
+@partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dm", "Dcav",
+                                   "damp", "method", "yy_off", "use_batched",
+                                   "periodic", "platform"))
+def _chunk_update(msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz,
+                  psi_out, in_m, deg, phi_b,
+                  Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, *, trunc, trunc_cav,
+                  Dm, Dcav, damp, method, yy_off, use_batched, periodic,
+                  platform=None):
+    """One node-chunk of a sweep (jitted once per chunk/bucket shape).
+
+    Operates on pre-gathered chunk arrays (see :func:`_chunk_gather` for why
+    the gather must not live in this executable).
+    """
+    return _chunk_update_body(
+        msgs_in_c, msgs_in_lz, msgs_out_old_c, msgs_out_old_lz, psi_out,
+        in_m, deg, phi_b, Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, trunc=trunc,
+        trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav, damp=damp, method=method,
+        yy_off=yy_off, use_batched=use_batched, periodic=periodic)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buf, idx, vals):
     """buf.at[idx].set(vals) with drop semantics, donating buf (no copy)."""
@@ -940,7 +981,9 @@ def _scatter_rows(buf, idx, vals):
 def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
                      trunc_cav: SVDTrunc | None = None,
                      Dcav: int | None = None, damp: float = 0.0,
-                     method: str = "sketch", chunk: int = 1024) -> MPBP:
+                     method: str = "sketch", chunk: int = 1024,
+                     schedule: str = "jacobi",
+                     rng: np.random.Generator | None = None) -> MPBP:
     """Memory-bounded Jacobi sweep for large graphs.
 
     :func:`bp_sweep` is one jit whose peak HBM temp grows with N*T1*D^2 —
@@ -956,7 +999,16 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
     This is the single-chip leg of the BASELINE scale target (SIS ER
     N=10^5, T=50); the multi-chip halo path (``parallel/halo.py``) shards
     the same chunked sweep across devices.
+
+    ``schedule='seidel'`` makes each chunk read the messages already updated
+    by earlier chunks of the SAME sweep (Gauss–Seidel — the reference's
+    live-update asynchronous semantics, ``mpbp.jl:190-195``); pass ``rng``
+    to shuffle the node order within each degree bucket per sweep (the
+    reference reshuffles every sweep, ``mpbp.jl:195``).  Seidel information
+    flow helps convergence on loopy graphs where Jacobi oscillates.
     """
+    if schedule not in ("jacobi", "seidel"):
+        raise ValueError(f"unknown schedule {schedule!r}")
     trunc_cav = trunc if trunc_cav is None else trunc_cav
     Dm = bp.D
     Dcav = Dm if Dcav is None else Dcav
@@ -981,6 +1033,8 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
     f_all = jnp.copy(bp.f)
 
     for idx, Kb in _degree_buckets(g):
+        if rng is not None:
+            idx = rng.permutation(idx)
         if tb.ydims is not None:
             Yb = max(1, min(Yg, tb.ydims[min(Kb, len(tb.ydims) - 1)]))
             if yy_off is not None:
@@ -1025,8 +1079,13 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
             else:
                 Pyy_b = nsel(tb.Pyy, nb_j)
 
-            g_in_c, g_in_lz, g_out_c, g_out_lz, g_psi = _chunk_gather(
-                bp.msg_cores, bp.msg_logz, bp.psi, in_e, out_idx)
+            if schedule == "seidel":
+                # live messages: chunks see earlier chunks' updates
+                g_in_c, g_in_lz, g_out_c, g_out_lz, g_psi = _chunk_gather(
+                    new_cores, new_lz, bp.psi, in_e, out_idx)
+            else:
+                g_in_c, g_in_lz, g_out_c, g_out_lz, g_psi = _chunk_gather(
+                    bp.msg_cores, bp.msg_logz, bp.psi, in_e, out_idx)
             out_c, out_lz, bel_c, bel_lz, f = _chunk_update(
                 g_in_c, g_in_lz, g_out_c, g_out_lz, g_psi, in_m, deg,
                 bp.phi[nb_j], Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key,
@@ -1048,7 +1107,8 @@ def bp_sweep_chunked(bp: MPBP, trunc: SVDTrunc,
             f_all = _scatter_rows(f_all, bel_idx, f)
 
     return MPBP(bp.tables, bp.phi, bp.psi, new_cores, new_lz,
-                bel_c_all, bel_lz_all, f_all, bp.garrays, bp.graph)
+                bel_c_all, bel_lz_all, f_all, bp.garrays, bp.graph,
+                bp.periodic, bp.qs)
 
 
 # ---------------------------------------------------------------------------
@@ -1081,22 +1141,45 @@ class CB_BP:
 def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
             tol: float = 1e-10, damp: float = 0.0,
             trunc_cav: SVDTrunc | None = None, Dcav: int | None = None,
-            callback=None, method: str = "qr", chunk: int | None = None):
+            callback=None, method: str = "qr", chunk: int | None = None,
+            polish: int = 0, schedule: str = "jacobi", shuffle: bool = False,
+            seed: int = 0):
     """Run sweeps until the marginals stop moving (reference ``iterate!``).
 
     ``chunk``: process nodes in chunks of this size per sweep
     (:func:`bp_sweep_chunked`) — required for graphs whose whole-sweep
     working set exceeds device memory (N over ~10^4 on one chip).
 
+    ``schedule='seidel'`` + ``shuffle=True`` reproduce the reference's
+    asynchronous semantics (``mpbp.jl:190-195``: node order reshuffled each
+    sweep, messages updated live): chunks within a sweep see earlier chunks'
+    fresh messages, which breaks the period-2 oscillations Jacobi BP can
+    enter on loopy graphs (frustrated cycles).  Both options route through
+    :func:`bp_sweep_chunked` (``chunk`` defaults to 1024 when unset).
+
+    ``polish``: after convergence (or ``maxiter``), run this many extra
+    deterministic sweeps (``method='qr'``) under full-f32 matmul precision.
+    On TPU the fast path's f32 matmuls run at the default (bf16-pass)
+    precision, which leaves ~1e-3-level noise in the converged beliefs; the
+    polish sweeps remove both the sketch randomization and the matmul
+    rounding at a once-per-run cost, turning the fast-path answer into a
+    deterministic one.
+
     Returns (bp, n_iters, deltas)."""
     trunc = default_truncator() if trunc is None else trunc
+    if schedule not in ("jacobi", "seidel"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    rng = np.random.default_rng(seed) if shuffle else None
+    if (schedule == "seidel" or shuffle) and chunk is None:
+        chunk = 1024
     m_old = beliefs(bp)
     f_old = bp.f
     deltas = []
+    n_done = maxiter
     for it in range(maxiter):
         if chunk is not None:
             bp = bp_sweep_chunked(bp, trunc, trunc_cav, Dcav, damp, method,
-                                  chunk)
+                                  chunk, schedule=schedule, rng=rng)
         else:
             bp = bp_sweep(bp, trunc, trunc_cav, Dcav, damp, method)
         m_new = beliefs(bp)
@@ -1108,9 +1191,17 @@ def iterate(bp: MPBP, maxiter: int = 5, trunc: SVDTrunc | None = None,
         if callback is not None:
             callback(bp, it, delta)
         if delta < tol:
-            return bp, it + 1, deltas
+            n_done = it + 1
+            break
         m_old, f_old = m_new, bp.f
-    return bp, maxiter, deltas
+    for _ in range(polish):
+        with jax.default_matmul_precision("float32"):
+            if chunk is not None:
+                bp = bp_sweep_chunked(bp, trunc, trunc_cav, Dcav, 0.0, "qr",
+                                      chunk)
+            else:
+                bp = bp_sweep(bp, trunc, trunc_cav, Dcav, 0.0, "qr")
+    return bp, n_done, deltas
 
 
 def beliefs(bp: MPBP) -> jax.Array:
@@ -1468,8 +1559,12 @@ def getN(bp: MPBP) -> int:
 
 
 def nstates(bp: MPBP, i: int | None = None) -> int:
-    """Number of single-variable states q (reference ``nstates(bp, i)``,
-    ``mpbp.jl:37``; states here are homogeneous across nodes)."""
+    """Number of single-variable states of node ``i`` (reference
+    ``nstates(bp, i)``, ``mpbp.jl:37``).  Heterogeneous-q states built with
+    ``mpbp(..., qs=...)`` report the per-node count; otherwise the global
+    padded ``q``."""
+    if i is not None and bp.qs is not None:
+        return int(bp.qs[i])
     return bp.q
 
 

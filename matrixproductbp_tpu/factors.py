@@ -41,6 +41,7 @@ __all__ = [
     "FactorSpec",
     "TraceFactorSpec",
     "DampedFactorSpec",
+    "RestrictedFactorSpec",
     "build_tables",
     "build_tables_t",
     "transition_probs",
@@ -219,6 +220,42 @@ class TraceFactorSpec(FactorSpec):
 
     def w(self, xp, x_nbrs, x):
         return float(self.fn(xp, list(x_nbrs), x))
+
+
+class RestrictedFactorSpec(FactorSpec):
+    """Forces the generic trait fallbacks of an inner spec — the
+    ``RestrictedRecursiveBPFactor`` analogue (``test_factors.jl:21-38``).
+
+    Hides ``prob_y_partial`` (so :func:`build_tables` computes ``Pyp`` by the
+    explicit sum over (y, y2), ``recursive_bp_factor.jl:49-54``) and the
+    ``sum_y_offset`` sum-type tag (so the sweep takes the dense ``Pyy`` merge
+    instead of the banded shortcut).  Results must be identical to the
+    unwrapped spec — the cross-path gate in ``tests/test_factor_adapters.py``.
+    """
+
+    sum_y_offset = None
+
+    def __init__(self, inner: FactorSpec):
+        self.inner = inner
+        self.q = inner.q
+
+    def nstates(self, l):
+        return self.inner.nstates(l)
+
+    def prob_y(self, *a):
+        return self.inner.prob_y(*a)
+
+    def prob_xy(self, *a):
+        return self.inner.prob_xy(*a)
+
+    def prob_yy(self, *a):
+        return self.inner.prob_yy(*a)
+
+    def prob_y0(self, *a):
+        return self.inner.prob_y0(*a)
+
+    def w(self, *a):
+        return self.inner.w(*a)
 
 
 class DampedFactorSpec(FactorSpec):

@@ -43,7 +43,8 @@ from .sumy import y_expand
 from .tensortrain import TensorTrain, _safe_scale, _fit_axis, \
     normalize_eachmatrix
 
-__all__ = ["merge_stta_fused", "mpem3_stta_fused", "fused_supported",
+__all__ = ["merge_stta_fused", "mpem3_stta_fused", "mpem3_stta_fused_tm",
+           "fused_supported",
            "mpem3_fused_supported"]
 
 try:  # Pallas imports fail gracefully on builds without TPU support
@@ -737,6 +738,79 @@ def mpem3_stta_fused(B3, logz, Dout: int, key, oversample: int = 4,
 
     # ---- assembly: identical to mpem3_stta_batched -------------------------
     c0 = jnp.einsum("znijr,znrb->zijb", B3[:, 0, 0], Ws0)
+    first = jnp.zeros((Bn, sr, sr, P), dtype)
+    first = first.at[:, 0].set(c0.reshape(Bn, P, sr).transpose(0, 2, 1))
+    Bsol = _solve_batched(Ms, Ns, eps)
+    Bsol = Bsol.reshape(Bn, S, sr, P, sr).transpose(0, 1, 2, 4, 3)
+    last = jnp.zeros((Bn, sr, sr, P), dtype)
+    last = last.at[:, :, 0, :].set(Bsol[:, -1][:, :, 0, :])
+    cores = jnp.concatenate([first[:, None], Bsol[:, :-1], last[:, None]],
+                            axis=1)
+    cores = _fit_axis(_fit_axis(cores, 2, Dout), 3, Dout)
+    return cores, logz
+
+
+def mpem3_stta_fused_tm(B3f, logz, Db: int, qi: int, qj: int, Dout: int,
+                        key, oversample: int = 4, interpret: bool = False):
+    """Fused-kernel MPEM3 -> MPEM2 from the TIME-MAJOR FLAT layout — drop-in
+    for ``stta.mpem3_stta_batched_tm``.
+
+    B3f: [T1, B, qi*qj*qi'*Db*Db], column order ``(i, j, r, m, n)`` (the
+    layout ``bp._bucket_update_batched`` builds for the *message* conversion).
+    The round-3 attempt to fuse this path materialized the whole-batch 7-D
+    B3, whose (2,128)-tiled small-trailing-dim layout padded to a +8 GB HBM
+    temp at bench scale (measured; note at ``bp.py`` call site).  Here the
+    only full-batch array is the flat [B, T1, cols] transpose (pads ~1.0x);
+    the padded lanes-last kernel streams exist per 2048-instance chunk only
+    (~0.4 GB live, sequential under ``lax.map``)."""
+    from .stta import _solve_batched, _eps_for
+
+    T1, Bn = B3f.shape[0], B3f.shape[1]
+    P = qi * qj
+    dtype = B3f.dtype
+    eps = _eps_for(dtype)
+    sr = min(Dout, Db * qi)
+    sl = min(sr + oversample, max(Db * qi, 1))
+    S = T1 - 1
+
+    kphi, kpsi = jax.random.split(key)
+    phi = jax.random.normal(kphi, (T1, sl, sl, qi, qj), dtype)
+    psi = jax.random.normal(kpsi, (T1, sr, sr, qi, qj), dtype)
+
+    # ---- site-0 boundary (XLA; one time row) -------------------------------
+    B300 = B3f[0].reshape(Bn, qi, qj, qi, Db, Db)[..., 0, :]   # [z,i,j,r,n]
+    S_init = jnp.einsum("fij,zijrn->zfnr", phi[0, 0], B300)
+    S_init = S_init / _safe_scale(
+        jnp.max(jnp.abs(S_init), axis=(1, 2, 3), keepdims=True))
+
+    # chunk along the INSTANCE axis of the time-major input directly (no
+    # full-batch [B, T1, cols] transpose — that copy alone is ~5 GB at the
+    # chunked-sweep scale shape); at most two kernel shapes compile (full
+    # chunk + remainder)
+    def scans_chunk(B3_c, S_init_c):
+        nb = B3_c.shape[1]
+        Bk = B3_c[1:].reshape(S, nb, qi, qj, qi, Db, Db)
+        B1 = _pad_lanes(jnp.transpose(Bk, (0, 5, 6, 2, 3, 4, 1)), -1)
+        S_init_k = _pad_lanes(jnp.moveaxis(S_init_c, 0, -1), -1)
+        Ws = _mpem3_wscan(B1, psi[1:], Db=Db, qi=qi, qj=qj, sr=sr,
+                          interpret=interpret)
+        Ns_k, Ms_k = _mpem3_fscan(B1, phi[1:], Ws, S_init_k, Db=Db, qi=qi,
+                                  qj=qj, sr=sr, sl=sl, interpret=interpret)
+        return (jnp.moveaxis(Ns_k, -1, 0)[:nb].reshape(nb, S, sl, P * sr),
+                jnp.moveaxis(Ms_k, -1, 0)[:nb],
+                jnp.moveaxis(Ws[0], -1, 0)[:nb])
+
+    parts = [scans_chunk(B3f[:, lo:lo + _MPEM3_CHUNK],
+                         S_init[lo:lo + _MPEM3_CHUNK])
+             for lo in range(0, Bn, _MPEM3_CHUNK)]
+    if len(parts) == 1:
+        Ns, Ms, Ws0 = parts[0]
+    else:
+        Ns, Ms, Ws0 = (jnp.concatenate([p[k] for p in parts])
+                       for k in range(3))
+
+    # ---- assembly: identical to _mpem3_stta_tm -----------------------------
+    c0 = jnp.einsum("zijrn,znrb->zijb", B300, Ws0)
     first = jnp.zeros((Bn, sr, sr, P), dtype)
     first = first.at[:, 0].set(c0.reshape(Bn, P, sr).transpose(0, 2, 1))
     Bsol = _solve_batched(Ms, Ns, eps)

@@ -35,8 +35,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph import Graph
-from ..bp import MPBP, _node_update
+from ..bp import MPBP, _chunk_update_body, _BATCH_MIN_NODES
 from ..factors import RecursiveFactorTables
+from ..ops import fused_stta
 from ..ops.truncation import SVDTrunc
 from .partition import partition_nodes
 
@@ -273,12 +274,62 @@ def _shard_state(state: HaloState, mesh: Mesh) -> HaloState:
         f=put(state.f), idx=jax.tree_util.tree_map(put, state.idx))
 
 
+def _halo_buckets(plan: HaloPlan, chunk: int | None):
+    """Static per-device degree buckets, padded to a common per-device width
+    and chunked to ``chunk`` nodes.
+
+    Returns ``[(loc_idx [ndev, Cb], Kb, chunkC)]`` where ``loc_idx`` holds
+    local node ids (sentinel ``Nloc`` for padding — gathers are clamped and
+    scatters dropped) and ``Cb`` is a multiple of ``chunkC``.  Mirrors
+    ``bp._degree_buckets`` (per-node cost tracks d_i, y-axis cropped per
+    bucket) with the extra constraint that the SPMD program is identical on
+    every device: all devices run the same bucket/chunk sequence.
+    """
+    ndev, Nloc = plan.ndev, plan.Nloc
+    degs = np.where(plan.node_mask, np.maximum(plan.degree, 1), 0)
+    distinct = np.unique(degs[degs > 0])
+    if len(distinct) == 0:
+        return []
+    if len(distinct) <= 4:
+        bounds = [int(b) for b in distinct]
+    else:
+        bounds = sorted({1 << int(np.ceil(np.log2(b))) for b in distinct})
+    out = []
+    lo = 0
+    for b in bounds:
+        per_dev = [np.nonzero((degs[p] > lo) & (degs[p] <= b))[0]
+                   for p in range(ndev)]
+        lo = b
+        width = max(len(ix) for ix in per_dev)
+        if width == 0:
+            continue
+        chunkC = width if chunk is None else min(chunk, width)
+        padded = -(-width // chunkC) * chunkC
+        idx = np.full((ndev, padded), Nloc, dtype=np.int32)
+        for p, ix in enumerate(per_dev):
+            idx[p, :len(ix)] = ix
+        out.append((idx, int(b), chunkC))
+    return out
+
+
 @partial(jax.jit, static_argnames=("trunc", "trunc_cav", "Dcav", "damp",
-                                   "method"))
-def halo_sweep(state: HaloState, trunc: SVDTrunc,
-               trunc_cav: SVDTrunc | None = None, Dcav: int | None = None,
-               damp: float = 0.0, method: str = "qr") -> HaloState:
-    """One synchronous BP sweep with explicit halo exchange."""
+                                   "method", "chunk", "platform"))
+def _halo_sweep_jit(state: HaloState, trunc: SVDTrunc,
+                    trunc_cav: SVDTrunc | None = None,
+                    Dcav: int | None = None, damp: float = 0.0,
+                    method: str = "qr", chunk: int | None = None,
+                    platform: str | None = None) -> HaloState:
+    """One synchronous BP sweep with explicit halo exchange.
+
+    Each device runs the SAME degree-bucketed, chunked node update as the
+    single-chip sweep (``bp._chunk_update_body``: batched/fused STTA kernels
+    when admitted, vmapped ``_node_update`` otherwise), so per-device peak
+    temp is O(chunk · K_b · T1 · D²) — the memory-bounded path the
+    N=1e5/D=20 scale target needs — and y-axes are cropped per bucket.  The
+    collective structure is unchanged: one ``all_to_all`` delivering exactly
+    the cut (two with damping).  ``platform`` must be in the static cache key
+    for the same reason as ``bp.bp_sweep``.
+    """
     from jax import shard_map
 
     trunc_cav = trunc if trunc_cav is None else trunc_cav
@@ -289,9 +340,18 @@ def halo_sweep(state: HaloState, trunc: SVDTrunc,
     Dcav = Dm if Dcav is None else Dcav
     q = state.q
     tb = state.tables
+    tv = tb.time_varying
+    yy_off = tb.yy_off
+    Yg = tb.Y
     periodic = state.periodic
 
     key = jax.random.PRNGKey(17)
+
+    # static bucket plan (host): [(loc_idx [ndev, Cb], Kb, chunkC)]
+    buckets = _halo_buckets(plan, chunk)
+    boffs = np.cumsum([0] + [b[0].shape[1] for b in buckets])
+    bidx_all = (np.concatenate([b[0] for b in buckets], axis=1)
+                if buckets else np.zeros((ndev, 1), np.int32))
 
     # per-node vs broadcast decided here (static), not from block shapes
     pernode = tuple(t.shape[0] == ndev * Nloc
@@ -299,18 +359,18 @@ def halo_sweep(state: HaloState, trunc: SVDTrunc,
 
     def device_fn(msg_c, msg_z, phi, psi_out, py, pyp, pxy,
                   py0, pyy, in_edges, in_mask, deg, local_src, local_dst,
-                  send_idx, recv_dst, node_mask):
-        # block shapes: leading device axis of size 1 -> squeeze
+                  send_idx, recv_dst, node_mask, bidx):
+        # block shapes: leading device axis of size 1 -> squeeze (broadcast
+        # tables keep their size-1 node axis: _chunk_update_body expects it)
         msg_c, msg_z = msg_c[0], msg_z[0]
         phi, psi_out = phi[0], psi_out[0]
         in_edges, in_mask, deg = in_edges[0], in_mask[0], deg[0]
         local_src, local_dst = local_src[0], local_dst[0]
         send_idx, recv_dst = send_idx[0], recv_dst[0]
         node_mask = node_mask[0]
-
-        gather_e = jnp.minimum(in_edges, Eloc - 1)
-        msgs_in_c = msg_c[gather_e]           # [Nloc, K, T1, D, D, qq]
-        msgs_in_z = msg_z[gather_e]
+        bidx = bidx[0]
+        tbls = [t[0] if pn else t
+                for t, pn in zip((py, pyp, pxy, py0, pyy), pernode)]
 
         if damp > 0.0:
             # fetch current out-edge messages back along the reversed route
@@ -336,32 +396,68 @@ def halo_sweep(state: HaloState, trunc: SVDTrunc,
             old_c = jnp.zeros((Nloc, K) + msg_c.shape[1:], msg_c.dtype)
             old_z = jnp.zeros((Nloc, K), msg_z.dtype)
 
-        def node_fn(mi_c, mi_z, mo_c, mo_z, ps, mk, py_, pyp_, pxy_, py0_,
-                    ph, dg, pyy_):
-            return _node_update(mi_c, mi_z, mo_c, mo_z, ps, mk, py_, pyp_,
-                                pxy_, py0_, ph, dg, pyy_, trunc, trunc_cav,
-                                Dm, Dcav, damp, periodic, method, key,
-                                tb.yy_off, direct_k3=Nloc <= 4096)
+        # ---- bucketed, chunked per-device node update ---------------------
+        prod_c = jnp.zeros((Nloc * K,) + msg_c.shape[1:], msg_c.dtype)
+        prod_z = jnp.zeros((Nloc * K,), msg_z.dtype)
+        bel_c = jnp.zeros((Nloc,) + state.bel_cores.shape[2:], msg_c.dtype)
+        bel_z = jnp.zeros((Nloc,), msg_z.dtype)
+        f = jnp.zeros((Nloc,), msg_z.dtype)
+        for bi, (idx_h, Kb, chunkC) in enumerate(buckets):
+            if tb.ydims is not None:
+                Yb = max(1, min(Yg, tb.ydims[min(Kb, len(tb.ydims) - 1)]))
+                if yy_off is not None:
+                    Yb = max(Yb, yy_off + 1)
+            else:
+                Yb = Yg
+            fused_ok = fused_stta.fused_supported(
+                max(Dm, Dcav), max(Dm, Dcav), Yb, q, Dcav, msg_c.dtype)
+            use_batched = bool(
+                method == "sketch" and not periodic and not tv
+                and (yy_off is not None or tb.Pyy.shape[0] == 1)
+                and chunkC >= _BATCH_MIN_NODES
+                and (fused_ok or _BATCH_MIN_NODES <= 1))
+            ids_all = bidx[int(boffs[bi]):int(boffs[bi + 1])]
+            for lo in range(0, idx_h.shape[1], chunkC):
+                ids = ids_all[lo:lo + chunkC]
+                ids_g = jnp.minimum(ids, Nloc - 1)
+                valid = ids < Nloc
+                in_e = in_edges[ids_g][:, :Kb]
+                in_m = in_mask[ids_g][:, :Kb] & valid[:, None]
+                gather_e = jnp.minimum(in_e, Eloc - 1)
+                mi_c, mi_z = msg_c[gather_e], msg_z[gather_e]
+                mo_c, mo_z = old_c[ids_g][:, :Kb], old_z[ids_g][:, :Kb]
+                ps, ph, dg = psi_out[ids_g][:, :Kb], phi[ids_g], deg[ids_g]
 
-        def prep(tbl, pn):
-            # per-node block [1, Nloc, ...] -> [Nloc, ...] mapped;
-            # broadcast (replicated) [1, ...] -> [...] unmapped
-            return (tbl[0], 0) if pn else (tbl[0], None)
+                def tsel(t, pn):
+                    return t[ids_g] if pn else t
 
-        (py_, ax_py) = prep(py, pernode[0])
-        (pyp_, ax_pyp) = prep(pyp, pernode[1])
-        (pxy_, ax_pxy) = prep(pxy, pernode[2])
-        (py0_, ax_py0) = prep(py0, pernode[3])
-        (pyy_, ax_pyy) = prep(pyy, pernode[4])
-        out_c, out_z, bel_c, bel_z, f = jax.vmap(
-            node_fn,
-            in_axes=(0, 0, 0, 0, 0, 0, ax_py, ax_pyp, ax_pxy, ax_py0, 0, 0,
-                     ax_pyy),
-        )(msgs_in_c, msgs_in_z, old_c, old_z, psi_out, in_mask,
-          py_, pyp_, pxy_, py0_, phi, deg, pyy_)
-
-        prod_c = out_c.reshape((Nloc * K,) + out_c.shape[2:])
-        prod_z = out_z.reshape(Nloc * K)
+                Py_b = tsel(tbls[0], pernode[0])[..., :Yb]
+                Pyp_b = tsel(tbls[1], pernode[1])[:, :Kb][..., :Yb]
+                Pxy_b = tsel(tbls[2], pernode[2])[:, :Kb][..., :Yb, :, :]
+                Py0_b = tsel(tbls[3], pernode[3])[..., :Yb, :]
+                Pyy_b = tsel(tbls[4], pernode[4])
+                if yy_off is None:
+                    Pyy_b = Pyy_b[:, :min(Kb, Pyy_b.shape[1])]
+                    Pyy_b = Pyy_b[..., :Yb, :Yb, :Yb, :]
+                out_c, out_z, bc, bz, fc = _chunk_update_body(
+                    mi_c, mi_z, mo_c, mo_z, ps, in_m, dg, ph,
+                    Py_b, Pyp_b, Pxy_b, Py0_b, Pyy_b, key, trunc=trunc,
+                    trunc_cav=trunc_cav, Dm=Dm, Dcav=Dcav, damp=damp,
+                    method=method, yy_off=yy_off, use_batched=use_batched,
+                    periodic=periodic)
+                # scatter: produce position = loc*K + slot; pads -> dropped
+                pos = jnp.where(
+                    in_m, ids[:, None] * K + jnp.arange(Kb)[None, :],
+                    Nloc * K)
+                nb2, Kb2 = out_c.shape[0], out_c.shape[1]
+                prod_c = prod_c.at[pos.reshape(-1)].set(
+                    out_c.reshape((nb2 * Kb2,) + out_c.shape[2:]),
+                    mode="drop")
+                prod_z = prod_z.at[pos.reshape(-1)].set(out_z.reshape(-1),
+                                                        mode="drop")
+                bel_c = bel_c.at[ids].set(bc, mode="drop")
+                bel_z = bel_z.at[ids].set(bz, mode="drop")
+                f = f.at[ids].set(fc, mode="drop")
 
         # ---- deliver: local scatter + one all_to_all for the halo ---------
         new_c = jnp.zeros_like(msg_c).at[local_dst].set(
@@ -382,7 +478,8 @@ def halo_sweep(state: HaloState, trunc: SVDTrunc,
 
     specs_in = (P(ax), P(ax), P(ax), P(ax),
                 *(P(ax) if pn else P() for pn in pernode),
-                P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax))
+                P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                P(ax))
     specs_out = (P(ax), P(ax), P(ax), P(ax), P(ax))
 
     # per-node tables: reshape the node axis into (ndev, Nloc) for sharding
@@ -396,9 +493,25 @@ def halo_sweep(state: HaloState, trunc: SVDTrunc,
         state.msg_cores, state.msg_logz, state.phi, state.psi_out,
         tbl_arg(tb.Py, pernode[0]), tbl_arg(tb.Pyp, pernode[1]),
         tbl_arg(tb.Pxy, pernode[2]), tbl_arg(tb.Py0, pernode[3]),
-        tbl_arg(tb.Pyy, pernode[4]), ie, im, dg, ls, ld, si, rd, nm)
+        tbl_arg(tb.Pyy, pernode[4]), ie, im, dg, ls, ld, si, rd, nm,
+        jnp.asarray(bidx_all))
     return dataclasses.replace(state, msg_cores=new_c, msg_logz=new_z,
                                bel_cores=bel_c, bel_logz=bel_z, f=f)
+
+
+def halo_sweep(state: HaloState, trunc: SVDTrunc,
+               trunc_cav: SVDTrunc | None = None, Dcav: int | None = None,
+               damp: float = 0.0, method: str = "qr",
+               chunk: int | None = None) -> HaloState:
+    """One halo-exchange BP sweep — see :func:`_halo_sweep_jit`.
+
+    Un-jitted shim recording the platform the data lives on before tracing,
+    so the fused-Pallas admission gates (``ops/fused_stta``) key correctly
+    (same contract as ``bp.bp_sweep``)."""
+    fused_stta.set_active_platform(state.msg_cores)
+    return _halo_sweep_jit(state, trunc, trunc_cav=trunc_cav, Dcav=Dcav,
+                           damp=damp, method=method, chunk=chunk,
+                           platform=fused_stta._active_platform())
 
 
 def halo_beliefs(state: HaloState, graph: Graph) -> jax.Array:

@@ -37,6 +37,7 @@ from .ops.truncation import SVDTrunc
 __all__ = ["UniformMessage", "TruncVUMPS", "flat_uniform", "rand_uniform",
            "uniform_lognorm", "uniform_normalize", "uniform_marginals",
            "uniform_twovar_marginals", "uniform_dot", "truncate_vumps",
+           "truncate_vumps_variational",
            "MPBPStationary", "mpbp_stationary",
            "mpbp_stationary_infinite_graph",
            "mpbp_stationary_infinite_bipartite_graph",
@@ -46,10 +47,17 @@ __all__ = ["UniformMessage", "TruncVUMPS", "flat_uniform", "rand_uniform",
 
 @dataclasses.dataclass(frozen=True)
 class TruncVUMPS(SVDTrunc):
-    """Bond cap for uniform trains, canonical-gauge truncation
-    (reference default ``TruncVUMPS(4)``, ``stationary.jl:258``)."""
+    """Bond cap for uniform trains (reference default ``TruncVUMPS(4)``,
+    ``stationary.jl:258``).
+
+    ``refine = 0``: canonical-gauge SVD crop (quasi-optimal).
+    ``refine > 0``: that crop is then improved by ``refine`` rounds of the
+    *variational* uniform-MPS fit (:func:`truncate_vumps_variational`) — the
+    ALS fixed point of the mixed transfer environments, the single-site
+    analogue of the reference's TensorTrains.jl VUMPS truncator."""
     d: int
     power_iters: int = 100
+    refine: int = 0
 
     @property
     def max_bond(self):
@@ -212,6 +220,73 @@ def truncate_vumps(u: UniformMessage, d: int, iters: int = 200) -> UniformMessag
     return UniformMessage(core, u.logz, u.phys)
 
 
+def truncate_vumps_variational(u: UniformMessage, d: int, iters: int = 100,
+                               refine: int = 8) -> UniformMessage:
+    """Variational bond truncation of a uniform MPS (reference ``TruncVUMPS``
+    semantics, ``stationary.jl:258`` / TensorTrains.jl VUMPS).
+
+    Maximizes the per-site overlap ``lam_mix / sqrt(lam_BB * lam_AA)`` over
+    bond-``d`` uniform cores B by alternating-least-squares on the
+    stationarity condition of the leading mixed-transfer eigenvalue:
+
+        l_B B r_B  ∝  L_mix A R_mix
+
+    where (L_mix, R_mix) are the leading left/right eigenvectors of the mixed
+    transfer ``T[(a,m),(b,n)] = sum_p B[a,b,p] A[m,n,p]`` and (l_B, r_B) the
+    Gram fixed points of B itself.  Initialized from the canonical-gauge SVD
+    crop (:func:`truncate_vumps`), which it can only improve (monotone in
+    practice; the gate in ``tests/test_stationary.py`` asserts it)."""
+    D = u.D
+    if D <= d:
+        return u
+    A = u.core
+    P = A.shape[2]
+    dtype = A.dtype
+    B0 = truncate_vumps(u, d, iters).core
+    eps = 1e-12
+    I = jnp.eye(d, dtype=dtype)
+
+    def step(B, _):
+        T = jnp.einsum("abp,mnp->ambn", B, A).reshape(d * D, d * D)
+        _, lm, rm = _leading_eig(T, iters)
+        L = lm.reshape(d, D)
+        R = rm.reshape(d, D)
+        G = jnp.einsum("am,mnp,bn->abp", L, A, R)
+        lB = _gram_fixed_point(B, "left", iters)
+        rB = _gram_fixed_point(B, "right", iters)
+        # solve l_B X r_B = G (PSD: two Cholesky solves)
+        cl = jax.scipy.linalg.cho_factor(lB + eps * I)
+        cr = jax.scipy.linalg.cho_factor(rB + eps * I)
+        X = jax.scipy.linalg.cho_solve(cl, G.reshape(d, d * P))
+        X = X.reshape(d, d, P)
+        X = jax.scipy.linalg.cho_solve(
+            cr, X.transpose(1, 0, 2).reshape(d, d * P)
+        ).reshape(d, d, P).transpose(1, 0, 2)
+        m = jnp.maximum(jnp.max(jnp.abs(X)), 1e-300)
+        return X / m, None
+
+    B, _ = jax.lax.scan(step, B0, None, length=refine)
+    # keep the refinement only where it genuinely helps: ALS on a defective
+    # environment can stall; fall back to the crop on non-finite output or
+    # a worse overlap
+    cand = UniformMessage(B, u.logz, u.phys)
+    crop = UniformMessage(B0, u.logz, u.phys)
+    ov_cand = uniform_dot(cand, u)
+    ov_crop = uniform_dot(crop, u)
+    ok = jnp.all(jnp.isfinite(B)) & (jnp.abs(1.0 - ov_cand)
+                                     <= jnp.abs(1.0 - ov_crop))
+    core = jnp.where(ok, B, B0)
+    return UniformMessage(core, u.logz, u.phys)
+
+
+def _truncate(u: UniformMessage, d: int, trunc: "TruncVUMPS") -> UniformMessage:
+    """Dispatch: variational fit when ``trunc.refine > 0``, else the crop."""
+    if trunc.refine > 0:
+        return truncate_vumps_variational(u, d, trunc.power_iters,
+                                          trunc.refine)
+    return truncate_vumps(u, d, trunc.power_iters)
+
+
 # ---------------------------------------------------------------------------
 # BP pieces (mirror stationary.jl recursive path)
 # ---------------------------------------------------------------------------
@@ -335,7 +410,7 @@ def _node_update_jit(msgs_in, psi_out, Py_i, Pyp_i, Pxy_i, Py0_i, Pyy_i,
     def fold(a, b, pyy_t):
         out = _merge_inf(a, b, pyy_t, Y, q)
         if out.D > cap:
-            out = truncate_vumps(out, cap, trunc.power_iters)
+            out = _truncate(out, cap, trunc)
         return out
 
     # prefix / suffix folds
@@ -361,7 +436,7 @@ def _node_update_jit(msgs_in, psi_out, Py_i, Pyp_i, Pxy_i, Py0_i, Pyy_i,
             C = fold(L[s], R[s + 1], pyy_at(s))
         B5 = _f_bp_partial_inf(C, Pyp_i[s], phi_i, q, q, Y)
         mu = _mpem2_inf(B5, C.logz, q)
-        mu = truncate_vumps(mu, trunc.d, trunc.power_iters)
+        mu = _truncate(mu, trunc.d, trunc)
         mu = uniform_normalize_eachmatrix(mu)
         mu, logz_k = uniform_normalize(mu)
         outs.append(mu)
@@ -370,7 +445,7 @@ def _node_update_jit(msgs_in, psi_out, Py_i, Pyp_i, Pxy_i, Py0_i, Pyy_i,
     Wb = Py_i[:, :, None, :]                         # [q, q, 1, Y]
     B5 = _f_bp_partial_inf(full, Wb, phi_i, 1, q, Y)
     bel = _mpem2_inf(B5, full.logz, 1)
-    bel = truncate_vumps(bel, trunc.d, trunc.power_iters)
+    bel = _truncate(bel, trunc.d, trunc)
     bel = UniformMessage(bel.core.reshape(bel.D, bel.D, q, 1).sum(axis=3),
                          bel.logz, (q,))
     bel, logz_i = uniform_normalize(bel)

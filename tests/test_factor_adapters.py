@@ -123,3 +123,43 @@ def test_restricted_fallback_matches_specialized_tables():
     assert np.allclose(np.asarray(mp.beliefs(bp)),
                        exact.exact_marginals(bp, p_ex), atol=1e-9)
     assert np.isclose(-float(mp.bethe_free_energy(bp)), np.log(Z), atol=1e-9)
+
+
+def test_restricted_homogeneous_glauber_matches_specialized():
+    """Homogeneous Glauber with ``prob_y_partial`` AND the sum-type tag
+    deliberately stripped (``RestrictedFactorSpec``): the explicit-sum Pyp
+    fallback + dense-Pyy merge path must give identical messages/beliefs to
+    the specialized closed-form + banded path — the
+    ``RestrictedRecursiveBPFactor`` gate (``test_factors.jl:21-38``)."""
+    from matrixproductbp_tpu.factors import RestrictedFactorSpec
+    from matrixproductbp_tpu.models import (Ising, Glauber, mpbp_glauber,
+                                            HomogeneousGlauberFactorSpec)
+
+    g = tree()
+    rng = np.random.default_rng(5)
+    ising = Ising(g, J=0.4 * np.ones(g.E // 2), h=rng.normal(0, 0.3, g.N),
+                  beta=1.0)
+    gl = Glauber(ising, T=3)
+    bp_fast = mpbp_glauber(gl, D=16)
+    assert bp_fast.tables.yy_off is not None  # banded fast path in play
+
+    specs = [RestrictedFactorSpec(
+        HomogeneousGlauberFactorSpec(0.4, float(ising.h[i]), 1.0))
+        for i in range(g.N)]
+    assert all(not hasattr(s, "prob_y_partial") for s in specs)
+    t_slow = build_tables(g, specs)
+    assert t_slow.yy_off is None              # dense-Pyy fallback in play
+    bp_slow = mp.mpbp(g, t_slow, 3, D=16, phi=bp_fast.phi)
+
+    for _ in range(6):
+        bp_fast = mp.bp_sweep(bp_fast, mp.TruncThresh(0.0))
+        bp_slow = mp.bp_sweep(bp_slow, mp.TruncThresh(0.0))
+    b_f = np.asarray(mp.beliefs(bp_fast))
+    b_s = np.asarray(mp.beliefs(bp_slow))
+    assert np.allclose(b_f, b_s, atol=1e-10), np.abs(b_f - b_s).max()
+    assert np.isclose(float(mp.bethe_free_energy(bp_fast)),
+                      float(mp.bethe_free_energy(bp_slow)), atol=1e-9)
+
+    # and both match enumeration (tree: BP exact)
+    p_ex, _ = exact.exact_prob(bp_slow)
+    assert np.allclose(b_s, exact.exact_marginals(bp_slow, p_ex), atol=1e-9)

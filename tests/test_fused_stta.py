@@ -298,3 +298,27 @@ def test_fused_sweep_beliefs_match_oracle(monkeypatch):
     p_ex, _ = exact.exact_prob(bp1)
     b_ex = np.asarray(exact.exact_marginals(bp1, p_ex))
     assert np.abs(b - b_ex).max() < 1e-6
+
+def test_fused_mpem3_tm_end_to_end_f64(monkeypatch):
+    """Time-major flat entry (the message-path layout) == batched-tm XLA path
+    — the wiring the bench-scale sweep takes once fused message conversion is
+    admitted (bp._bucket_update_batched)."""
+    from matrixproductbp_tpu.ops.stta import mpem3_stta_batched_tm
+    monkeypatch.setattr(fused_stta, "_MPEM3_CHUNK", 2)   # force chunked path
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(17)
+    B, T1, Db, qi, qj, Dout = 5, 5, 4, 2, 2, 5
+    dtype = jnp.float64
+    B3f = jnp.asarray(
+        rng.normal(size=(T1, B, qi * qj * qi * Db * Db)), dtype)
+    lz = jnp.asarray(rng.normal(size=(B,)), dtype)
+    ref_c, ref_z = mpem3_stta_batched_tm(B3f, lz, Db, qi, qj, Dout, key)
+    out_c, out_z = fused_stta.mpem3_stta_fused_tm(B3f, lz, Db, qi, qj, Dout,
+                                                  key, interpret=True)
+    # cores agree to solve conditioning (same bound as the non-tm gate: the
+    # per-step rescale axes differ between kernel and XLA paths, perturbing
+    # the normal equations while spanning the same subspace)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_z), np.asarray(ref_z),
+                               rtol=1e-12, atol=1e-12)

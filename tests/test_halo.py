@@ -94,3 +94,29 @@ def test_halo_traffic_is_cut_only():
     sent = int(np.sum(plan.send_idx < plan.Nloc * plan.K))
     assert sent == cut, (sent, cut)
     assert cut < g.E  # locality: the BFS partition keeps most edges internal
+
+
+def test_halo_chunked_mixed_degree_matches_single_device():
+    """The per-device bucketed, CHUNKED update (chunk < bucket width forces
+    multiple chunks; mixed degrees force multiple buckets) must still match
+    the single-device sweep bit-for-bit — the memory-bounded halo config the
+    N=1e5/D=20 scale target runs."""
+    rng = np.random.default_rng(9)
+    n = 24
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+        [(i, (i + 2) % n) for i in range(0, n, 2)]      # degrees 2 and 4
+    g = mp.graph_from_edges(n, edges)
+    sis = SIS(g, lam=0.3, rho=0.2, T=3, gamma=0.25)
+
+    ref = mpbp_sis(sis, D=6)
+    for _ in range(4):
+        ref = mp.bp_sweep(ref, mp.TruncBond(6))
+    b_ref = np.asarray(mp.beliefs(ref))
+    f_ref = float(mp.bethe_free_energy(ref))
+
+    st = halo_mpbp(mpbp_sis(sis, D=6), _mesh(4))
+    for _ in range(4):
+        st = halo_sweep(st, mp.TruncBond(6), chunk=2)
+    b = np.asarray(halo_beliefs(st, g))
+    assert np.allclose(b_ref, b, atol=1e-9), np.abs(b_ref - b).max()
+    assert np.isclose(f_ref, float(halo_bethe_free_energy(st)), atol=1e-8)

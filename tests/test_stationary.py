@@ -56,6 +56,25 @@ def test_truncate_vumps_lossless_when_rank_small():
                        atol=1e-6)
 
 
+def test_variational_truncation_improves_on_crop():
+    """The ALS variational fit (reference ``TruncVUMPS`` semantics,
+    ``stationary.jl:258``) must not be worse than the canonical-gauge crop it
+    starts from, and should strictly improve a generic random message."""
+    import jax
+    key = jax.random.PRNGKey(3)
+    u = st.rand_uniform(key, 12, (2, 2))
+    d = 4
+    crop = st.truncate_vumps(u, d)
+    var = st.truncate_vumps_variational(u, d, refine=8)
+    ov_crop = abs(1.0 - float(st.uniform_dot(crop, u)))
+    ov_var = abs(1.0 - float(st.uniform_dot(var, u)))
+    assert ov_var <= ov_crop + 1e-12, (ov_var, ov_crop)
+    # exactness is preserved when no truncation happens
+    small = st.rand_uniform(key, 3, (2,))
+    same = st.truncate_vumps_variational(small, 4)
+    assert np.allclose(np.asarray(same.core), np.asarray(small.core))
+
+
 def test_stationary_sis_matches_long_horizon_bp():
     """SIS on the infinite 3-regular graph: the stationary fixed point equals
     late-time beliefs of long-horizon finite-T BP.  A small self-infection
@@ -69,8 +88,9 @@ def test_stationary_sis_matches_long_horizon_bp():
     tables = build_tables(g, [spec])
 
     # finite-T reference; mid-horizon beliefs feel both time boundaries at
-    # ~exp(-T/2 * rho), so T = 48 puts that below the comparison tolerance
-    T = 48
+    # ~exp(-T/2 * rho), so T = 96 puts that (~7e-5) below the comparison
+    # tolerance — the decay analysis that justifies the 3e-4 gate
+    T = 96
     phi = np.ones((1, T + 1, 2))
     phi[0, 0] = [0.9, 0.1]
     bp = mpbp_infinite_graph(k, tables, T, D=8, phi=phi)
@@ -79,9 +99,9 @@ def test_stationary_sis_matches_long_horizon_bp():
 
     sbp = st.mpbp_stationary_infinite_graph(k, tables)
     sbp, iters, deltas, overlaps = st.iterate_stationary(
-        sbp, maxiter=120, trunc=st.TruncVUMPS(8), tol=1e-10)
+        sbp, maxiter=120, trunc=st.TruncVUMPS(8, refine=4), tol=1e-10)
     b_stat = st.beliefs_stationary(sbp)[0]
-    assert np.allclose(b_stat, b_late, atol=1e-2), (b_stat, b_late)
+    assert np.allclose(b_stat, b_late, atol=3e-4), (b_stat, b_late)
     assert overlaps[-1] < 1e-5
 
 
