@@ -642,7 +642,9 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
     # scale (16.15 vs 8.09 GB by compiled.memory_analysis()); the tm entry
     # keeps the full-batch array flat (pads ~1.0x) and pays the padded
     # lanes-last copies only per 2048-instance chunk.
-    if fused_stta.mpem3_fused_supported(Dcc, q, q, Dm, dtype):
+    import os as _os
+    if (_os.environ.get("MPBP_FUSE_MSG", "1") != "0"
+            and fused_stta.mpem3_fused_supported(Dcc, q, q, Dm, dtype)):
         out_c, out_lz0 = fused_stta.mpem3_stta_fused_tm(
             B3_tm, Cs_lz.reshape(Nb * K), Dcc, q, q, Dm, key,
             interpret=fused_stta._FORCE_INTERPRET)
@@ -695,8 +697,10 @@ def _bucket_update_batched(msgs_in_c, msgs_in_lz, msgs_out_old_c,
 
 
 #: minimum bucket size for the explicitly batched sketch path: below this the
-#: sweep is latency-bound either way (PERF.md) and the vmap path compiles less
-_BATCH_MIN_NODES = 256
+#: sweep is latency-bound either way (PERF.md) and the vmap path compiles
+#: less.  Env-overridable (MPBP_BATCH_MIN) for measurement; read at import.
+import os as _os
+_BATCH_MIN_NODES = int(_os.environ.get("MPBP_BATCH_MIN", "256"))
 
 
 def _degree_buckets(graph: Graph):

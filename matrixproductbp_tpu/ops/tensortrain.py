@@ -458,43 +458,108 @@ def _sweep_truncate_lr(cores: jax.Array, logz: jax.Array, trunc: SVDTrunc,
     return out, lg
 
 
-def _sweep_truncate_periodic(cores: jax.Array, logz: jax.Array,
-                             trunc: SVDTrunc, Dout: int):
-    """Left-to-right truncating SVD sweep with wrap-around for periodic trains.
+def _open_pass_periodic(core_list, lg, trunc: SVDTrunc, Dout: int):
+    """One orthogonalize(R->L) + truncate(L->R) pass over a periodic train's
+    INTERNAL bonds, treating the wrap bond as a spectator physical leg.
 
-    Every internal bond *and* the closing bond (T1-1 -> 0) are truncated by a
-    local SVD; the final carry folds into core 0, mirroring the wrap step of
-    the reference periodic sweep (``mpems.jl:143-152``).  Periodic trains have
-    no exact canonical gauge, so truncation is local (quasi-optimal), like the
-    reference's.
+    ``core_list``: T1 cores [Dl_t, Dr_t, P]; the wrap indices (left of core 0,
+    right of core T) are folded into those cores' physical legs, turning the
+    ring into an OPEN train over the composite object F(a, x_0..x_T, a') —
+    canonical sweeps are then exactly optimal for F, and the trace error of
+    the ring is bounded by ||ΔF||.  Returns (new core list, lg) with internal
+    bonds <= Dout; the wrap bond is untouched (see the caller for the ring
+    rotation that compresses it too).
     """
-    T1, Din, _, P = cores.shape
+    T1 = len(core_list)
+    cs = list(core_list)
 
-    def svd_trunc_step(prv, lg):
-        m_left = prv.shape[0]
-        M = prv.transpose(0, 2, 1).reshape(m_left * P, Din)
+    # fold wrap legs into boundary physical legs: c0 [1, D1, a*P], cT [DT, 1, a'*P]
+    a_dim = cs[0].shape[0]
+    ap_dim = cs[-1].shape[1]
+    P = cs[0].shape[2]
+    c0 = jnp.transpose(cs[0], (1, 0, 2)).reshape(1, cs[0].shape[1],
+                                                 a_dim * P)
+    cT = jnp.transpose(cs[-1], (0, 1, 2)).reshape(cs[-1].shape[0], 1,
+                                                  ap_dim * P)
+    open_cs = [c0] + cs[1:-1] + [cT]
+
+    # ---- right-to-left LQ orthogonalization (no truncation) ---------------
+    for t in range(T1 - 1, 0, -1):
+        c = open_cs[t]
+        Dl, Dr, Pt = c.shape
+        M = c.reshape(Dl, Dr * Pt)
+        s = _safe_scale(jnp.max(jnp.abs(M)))
+        M = M / s
+        lg = lg - jnp.log(s)
+        # LQ via QR of the transpose: M = (Q R)^T = R^T Q^T
+        Q, R = jnp.linalg.qr(M.T)          # Q [Dr*Pt, k], R [k, Dl]
+        k = Q.shape[1]
+        open_cs[t] = Q.T.reshape(k, Dr, Pt)
+        open_cs[t - 1] = jnp.einsum("mnp,nk->mkp", open_cs[t - 1], R.T)
+
+    # ---- left-to-right truncating SVD sweep -------------------------------
+    for t in range(T1 - 1):
+        c = open_cs[t]
+        Dl, Dr, Pt = c.shape
+        M = jnp.transpose(c, (0, 2, 1)).reshape(Dl * Pt, Dr)
         s = _safe_scale(jnp.max(jnp.abs(M)))
         M = M / s
         lg = lg - jnp.log(s)
         U, S, Vt = jnp.linalg.svd(M, full_matrices=False)
         S = S * trunc.keep_mask(S).astype(S.dtype)
-        k = S.shape[0]
-        new_core = _fit_axis(U.reshape(m_left, P, k).transpose(0, 2, 1), 1, Dout)
-        C = _fit_axis(S[:, None] * Vt, 0, Dout)   # [Dout, Din]
-        return new_core, C, lg
+        k = min(Dout, S.shape[0])
+        open_cs[t] = jnp.transpose(
+            U[:, :k].reshape(Dl, Pt, k), (0, 2, 1))
+        C = S[:k, None] * Vt[:k]
+        open_cs[t + 1] = jnp.einsum("km,mnp->knp", C, open_cs[t + 1])
 
-    core0, C, lg = svd_trunc_step(cores[0], logz)   # core0: [Din, Dout, P]
+    # unfold wrap legs back onto the bond axes
+    c0 = open_cs[0]
+    out0 = jnp.transpose(
+        c0.reshape(c0.shape[1], a_dim, P), (1, 0, 2))   # [a, D1', P]
+    cT = open_cs[-1]
+    outT = cT.reshape(cT.shape[0], ap_dim, P)
+    return [out0] + open_cs[1:-1] + [outT], lg
 
-    def step(carry, core):
-        C, lg = carry
-        absorbed = jnp.einsum("km,mnp->knp", C, core)  # [Dout, Din, P]
-        new_core, C2, lg = svd_trunc_step(absorbed, lg)
-        return (C2, lg), new_core
 
-    (C, lg), rest = jax.lax.scan(step, (C, lg), cores[1:])
-    # wrap: fold the closing carry into core 0's left bond
-    core0 = jnp.einsum("km,mnp->knp", C, core0)       # [Dout, Dout, P]
-    out = jnp.concatenate([core0[None], rest], axis=0)
+def _sweep_truncate_periodic(cores: jax.Array, logz: jax.Array,
+                             trunc: SVDTrunc, Dout: int):
+    """Bond truncation for periodic (trace-closed) trains by cut-and-rotate
+    open sweeps.
+
+    A periodic train has no exact canonical gauge, and purely LOCAL SVD crops
+    (the reference's periodic sweep style, ``mpems.jl:143-152``) can discard
+    globally-important directions: a single core's singular values carry no
+    environment weighting, which produced O(1e-2) belief errors at bond caps
+    (root-caused in round 5).  Instead:
+
+    1. Treat the wrap bond as a spectator physical leg on cores 0 and T1-1;
+       the ring becomes an OPEN train over F(a, x_0..x_T, a'), for which the
+       standard orthogonalize-then-truncate sweep IS optimal.  The ring's
+       trace error is bounded by the open object's: |tr A − tr B| ≤
+       sqrt(D)·||A−B||_F.  This compresses every internal bond to <= Dout.
+    2. Rotate the ring by one site (periodic trains are invariant under
+       cyclic relabeling of the trace) so the old wrap bond becomes internal,
+       and run the same pass — compressing it too.  Rotate back.
+    """
+    T1 = cores.shape[0]
+    P = cores.shape[3]
+    if T1 == 1:
+        return _fit_axis(_fit_axis(cores, 1, Dout), 2, Dout), logz
+
+    cs = [cores[t] for t in range(T1)]
+    # rotate FIRST: the old wrap bond becomes the internal bond between the
+    # rotated ring's last two sites, where the open sweep compresses it
+    # against its ENTIRE exact environment (the rest of the ring) — measured
+    # ~2 500x more accurate than compressing internal bonds first (the wrap
+    # spectator then inflates the open object's rank)
+    rot = cs[1:] + cs[:1]
+    rot, lg = _open_pass_periodic(rot, logz, trunc, Dout)
+    cs = rot[-1:] + rot[:-1]
+    # second pass over the original alignment compresses the remaining
+    # internal bonds (now with a <= Dout wrap spectator)
+    cs, lg = _open_pass_periodic(cs, lg, trunc, Dout)
+    out = jnp.stack([_fit_axis(_fit_axis(c, 0, Dout), 1, Dout) for c in cs])
     return out, lg
 
 

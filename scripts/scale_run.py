@@ -33,6 +33,7 @@ T = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 D = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
 SWEEPS = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+MODE = sys.argv[6] if len(sys.argv) > 6 else "seg"   # seg | chunked
 
 import matrixproductbp_tpu as mp
 from matrixproductbp_tpu import bigsweep
@@ -57,28 +58,48 @@ phi[:, 0, 0] = 0.7
 phi[:, 0, 1] = 0.3
 trunc = mp.TruncBond(D)
 
-plan = bigsweep.SegPlan(g, slots=CHUNK)
-st = bigsweep.seg_init(plan, tables, T, D, dtype=jnp.float32)
-msg_bytes = int(plan.S * plan.SEG_ROWS * st.segs[0].shape[0] * 4)
-print(f"resident messages: {msg_bytes/2**30:.2f} GiB "
-      f"(S={plan.S} segments, {len(plan.chunks)} chunks)", flush=True)
+if MODE == "chunked":
+    # double-buffered Jacobi (bp.bp_sweep_chunked): 2x message residency but
+    # whole-bucket batched/fused chunk updates — the fair comparison leg for
+    # sizes where 2x still fits the chip
+    bp = mp.mpbp(g, tables, T, D, phi=jnp.asarray(phi), dtype=jnp.float32)
+    msg_bytes = int(bp.msg_cores.size * 4)
+    print(f"resident messages: {msg_bytes/2**30:.2f} GiB (x2 Jacobi)",
+          flush=True)
+    t0 = time.perf_counter()
+    bp = mp.bp_sweep_chunked(bp, trunc, method="sketch", chunk=CHUNK)
+    float(jnp.sum(bp.msg_logz))
+    print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s", flush=True)
+    m_old = np.asarray(mp.beliefs(bp))
+    t0 = time.perf_counter()
+    for _ in range(SWEEPS):
+        bp = mp.bp_sweep_chunked(bp, trunc, method="sketch", chunk=CHUNK)
+    float(jnp.sum(bp.msg_logz))
+    dt = (time.perf_counter() - t0) / SWEEPS
+    m_new = np.asarray(mp.beliefs(bp))
+else:
+    plan = bigsweep.SegPlan(g, slots=CHUNK)
+    st = bigsweep.seg_init(plan, tables, T, D, dtype=jnp.float32)
+    msg_bytes = int(plan.S * plan.SEG_ROWS * st.segs[0].shape[0] * 4)
+    print(f"resident messages: {msg_bytes/2**30:.2f} GiB "
+          f"(S={plan.S} segments, {len(plan.chunks)} chunks)", flush=True)
 
-t0 = time.perf_counter()
-st = bigsweep.bp_sweep_seg(tables, st, trunc, T, D, phi=phi,
-                           method="sketch")
-print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s", flush=True)
-
-m_old = bigsweep.seg_beliefs(st, T, 2)
-t0 = time.perf_counter()
-for _ in range(SWEEPS):
+    t0 = time.perf_counter()
     st = bigsweep.bp_sweep_seg(tables, st, trunc, T, D, phi=phi,
                                method="sketch")
-# the per-segment drains already forced completion sweep-by-sweep
-dt = (time.perf_counter() - t0) / SWEEPS
-m_new = bigsweep.seg_beliefs(st, T, 2)
+    print(f"compile+first sweep: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    m_old = bigsweep.seg_beliefs(st, T, 2)
+    t0 = time.perf_counter()
+    for _ in range(SWEEPS):
+        st = bigsweep.bp_sweep_seg(tables, st, trunc, T, D, phi=phi,
+                                   method="sketch")
+    # the per-segment drains already forced completion sweep-by-sweep
+    dt = (time.perf_counter() - t0) / SWEEPS
+    m_new = bigsweep.seg_beliefs(st, T, 2)
 delta = float(np.max(np.abs(m_new - m_old)))
 print(json.dumps({
-    "workload": f"SIS ER N={N} T={T} D={D} f32 sketch slots={CHUNK} seg",
+    "workload": f"SIS ER N={N} T={T} D={D} f32 sketch slots={CHUNK} {MODE}",
     "sweep_s": round(dt, 3),
     "edge_updates_per_s": round(g.E / dt, 1),
     "last_sweep_delta": delta,
