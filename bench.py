@@ -39,8 +39,11 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N_NODES = 4096
-D20_CHUNK = 1024    # D=20 runs the full N=4096 graph via the chunked sweep
-                    # (whole-jit temps would OOM 16 GB; chunk temps are O(chunk))
+N_NODES_D20 = 1024  # D=20 leg: the chunked N=4096 run OOMs 16 GB (the merge
+                    # kernels' padded lanes-last stream copies are ~1.6 GB
+                    # each at D=20; measured r05) — the whole-jit N=1024 leg
+                    # is the largest proven D=20 configuration; rate is
+                    # per-edge so N cancels
 DEGREE = 3
 T_HORIZON = 15
 SWEEPS = 3
@@ -175,6 +178,7 @@ def karate_converge(accel, T=50, D=10, maxiter=100, tol=1e-6):
 
 
 def main():
+    import gc
     import jax.numpy as jnp
     from matrixproductbp_tpu.utils.profiling import sweep_flops_estimate
 
@@ -197,21 +201,32 @@ def main():
         "v5e_f32_peak_utilization": round(flops10 / dt10 / 98e12, 6),
     }
     emit()
+    # free phase-1 HBM before the later phases: the D=20 chunked leg +
+    # leftover phase-1 state exhausted the chip when everything stayed live
+    del bp10
+    gc.collect()
 
     # ---- phase 2: accuracy line (tiny compile) ------------------------------
     try:
         RESULT["belief_l1_vs_exact"] = accuracy_line(accel)
     except Exception as e:  # keep the headline number alive
         RESULT["belief_l1_vs_exact"] = _short_err(e)
+    gc.collect()
     emit()
 
-    # ---- phase 3: D=20 on the full N=4096 graph via the chunked sweep ------
+    # ---- phase 3: D=20 (N=1024 whole-jit; see N_NODES_D20 note) ------------
     try:
-        bp20, g20 = build(dtype, 20, N_NODES)
-        dt20 = timed_sweeps(bp20, accel, SWEEPS, 20, chunk=D20_CHUNK)
+        bp20, g20 = build(dtype, 20, N_NODES_D20)
+        dt20 = timed_sweeps(bp20, accel, SWEEPS, 20)
         RESULT["d20_edge_updates_per_s"] = round(g20.E / dt20, 2)
     except Exception as e:
         RESULT["d20_edge_updates_per_s"] = _short_err(e)
+    finally:
+        try:
+            del bp20
+        except NameError:
+            pass
+    gc.collect()
     emit()
 
     # ---- phase 3b: end-to-end convergence wall-clock (karate-club SIS) -----
@@ -222,12 +237,15 @@ def main():
         RESULT["karate_converge_s"] = karate_converge(accel)
     except Exception as e:
         RESULT["karate_converge_s"] = _short_err(e)
+    gc.collect()
     emit()
 
     # ---- phase 4: vs_baseline = same impl on the host CPU -------------------
     try:
         cpus = jax.devices("cpu")
-        dt_cpu = timed_sweeps(bp10, cpus[0], 1, 10)
+        with jax.default_device(cpus[0]):
+            bp10c, _ = build(dtype, 10)   # rebuilt ON the CPU (phase-1 state
+            dt_cpu = timed_sweeps(bp10c, cpus[0], 1, 10)   # was freed above)
         RESULT["vs_baseline"] = round(dt_cpu / dt10, 3)
     except Exception as e:
         RESULT["vs_baseline"] = _short_err(e)
