@@ -714,11 +714,16 @@ def _degree_buckets(graph: Graph):
     per degree; many -> power-of-two padding to bound compilation count.
     """
     degs = np.asarray(graph.degree)
+    dmax = int(np.maximum(degs, 1).max())
     distinct = np.unique(np.maximum(degs, 1))
     if len(distinct) <= 4:
         bounds = [int(b) for b in distinct]
     else:
-        bounds = sorted({1 << int(np.ceil(np.log2(b))) for b in distinct})
+        # clamp the top power-of-two to dmax: a bound above the graph's
+        # actual slot width would pad Kb past the index arrays' K columns
+        # (silently cropped by slicing) and break the K-sized reshapes
+        bounds = sorted({min(1 << int(np.ceil(np.log2(b))), dmax)
+                         for b in distinct})
     buckets = []
     lo = 0
     for b in bounds:

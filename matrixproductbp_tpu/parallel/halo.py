@@ -293,7 +293,9 @@ def _halo_buckets(plan: HaloPlan, chunk: int | None):
     if len(distinct) <= 4:
         bounds = [int(b) for b in distinct]
     else:
-        bounds = sorted({1 << int(np.ceil(np.log2(b))) for b in distinct})
+        # clamp to the slot width (see bp._degree_buckets)
+        bounds = sorted({min(1 << int(np.ceil(np.log2(b))), plan.K)
+                         for b in distinct})
     out = []
     lo = 0
     for b in bounds:

@@ -106,3 +106,41 @@ def test_batched_stta_matches_vmapped_stta():
         out_c, out_z = mpem3_stta_batched(B3, lz, Dout, key, stagger=G)
         np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_pow2_bucket_bound_clamped_to_dmax():
+    """Graphs whose max degree is not a power of two (e.g. karate's dmax=17)
+    used to get a bucket padded past the index arrays' K columns — the
+    slicing silently cropped the slots and the K-sized reshapes crashed.
+    Gate: bucketed sweep == single-full-bucket sweep on a >4-distinct-degree
+    tree with non-pow2 dmax."""
+    import numpy as np
+    import jax
+    import matrixproductbp_tpu as mp
+    from matrixproductbp_tpu import bp as bpmod
+    from matrixproductbp_tpu.bp import _degree_buckets
+    from matrixproductbp_tpu.models import SIS, mpbp_sis
+
+    edges = ([(0, i) for i in range(1, 6)] + [(1, i) for i in range(6, 9)]
+             + [(2, 9), (2, 10), (3, 11)])
+    g = mp.graph_from_edges(12, edges)          # degrees 1..5, dmax 5
+    assert max(k for _, k in _degree_buckets(g)) <= g.dmax
+
+    sis = SIS(g, lam=0.3, rho=0.2, T=3, gamma=0.3)
+    bp1 = mpbp_sis(sis, D=8)
+    for _ in range(4):
+        bp1 = mp.bp_sweep(bp1, mp.TruncBond(8))
+    b1 = np.asarray(mp.beliefs(bp1))
+
+    orig = bpmod._degree_buckets
+    try:
+        bpmod._degree_buckets = lambda graph: [(np.arange(graph.N),
+                                                graph.dmax)]
+        jax.clear_caches()
+        bp2 = mpbp_sis(sis, D=8)
+        for _ in range(4):
+            bp2 = mp.bp_sweep(bp2, mp.TruncBond(8))
+        b2 = np.asarray(mp.beliefs(bp2))
+    finally:
+        bpmod._degree_buckets = orig
+    assert np.allclose(b1, b2, atol=1e-12), np.abs(b1 - b2).max()
